@@ -1,0 +1,46 @@
+"""SparkSession construction with the scale-oriented defaults this engine
+assumes everywhere: AQE (skew-join splitting + partition coalescing), Arrow
+for every Python boundary, bounded Arrow batch sizes (the reference's
+micro-batching, MIMO_Extractor.py:84, becomes Arrow batch sizing)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def _ensure_package_visible_to_workers():
+    """Python workers don't inherit driver ``sys.path`` edits; make the repo
+    root importable for them (the local-mode stand-in for
+    ``spark-submit --py-files scikg_spark.zip`` on a cluster). Must run
+    before the JVM launches."""
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    current = os.environ.get("PYTHONPATH", "")
+    if repo_root not in current.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            repo_root + (os.pathsep + current if current else ""))
+
+
+def get_spark(app_name="scikg", cores=None, shuffle_partitions=None,
+              arrow_batch=512, extra_conf=None) -> SparkSession:
+    _ensure_package_visible_to_workers()
+    cores = int(cores or os.environ.get("SPARK_GRAFT_CPUS", 0) or os.cpu_count() or 4)
+    shuffle_partitions = int(shuffle_partitions or max(cores, 8))
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cores}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SCIKG_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+    )
+    for key, value in (extra_conf or {}).items():
+        builder = builder.config(key, value)
+    return builder.getOrCreate()
