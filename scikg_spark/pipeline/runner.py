@@ -1,0 +1,90 @@
+"""Full pipeline composition: pages -> statements -> tuples -> entities ->
+graph tables, with per-stage snapshot checkpoints and resume.
+
+Spark lifecycle (SURVEY.md §3, rebuild): one declarative plan per stage; the
+only Python boundaries are the three Arrow-vectorized UDF passes (stage 1
+extract/parse, stage 2 tag/correct/decode, stage 3 Jaccard verify). Catalyst
+handles pushdown/pruning; AQE handles skew and partition coalescing.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from scikg_spark.pipeline.stage1 import extract_statements
+from scikg_spark.pipeline.stage2 import decode_tuples, tag_statements
+from scikg_spark.pipeline.stage3 import link_entities
+from scikg_spark.pipeline.stage4 import SnapshotCatalog
+
+
+def run_pipeline(
+    spark: SparkSession,
+    pages: DataFrame,
+    catalog: SnapshotCatalog | None = None,
+    tagger: str = "rule",
+    gold: DataFrame | None = None,
+    lang: str | None = "en",
+    use_lsh: bool = True,
+    resume: bool = True,
+    corrections: dict | None = None,
+) -> dict[str, DataFrame]:
+    """Returns the stage tables. With a catalog, each stage is committed as a
+    snapshot and a resumed run reuses every committed stage instead of
+    recomputing it."""
+    corrections = corrections or {}
+    out: dict[str, DataFrame] = {}
+
+    def stage(name, build, partition_by=()):
+        t0 = time.time()
+        if catalog is not None and resume and catalog.is_complete(name):
+            df = catalog.read(name)
+            out[name] = df
+            catalog.write_metrics(name, {"resumed": True, "wall_ms": 0})
+            return df
+        df = build()
+        if catalog is not None:
+            manifest = catalog.write(df, name, partition_by=partition_by)
+            catalog.write_metrics(name, {
+                "resumed": False,
+                "rows": manifest["rows"],
+                "wall_ms": int((time.time() - t0) * 1000)})
+            df = catalog.read(name)
+        out[name] = df
+        return df
+
+    statements = stage(
+        "statements", lambda: extract_statements(pages, lang=lang))
+    tuples = stage(
+        "tuples",
+        lambda: decode_tuples(
+            tag_statements(statements, mode=tagger, gold=gold, **corrections)),
+        partition_by=("kind",))
+
+    # stage 3 produces two tables from one computation; resume only when BOTH
+    # are committed, otherwise recompute once and commit both
+    both_done = (
+        catalog is not None and resume
+        and catalog.is_complete("entity_nodes") and catalog.is_complete("entity_map"))
+    if both_done:
+        nodes = stage("entity_nodes", lambda: None)
+        phrase_map = stage("entity_map", lambda: None)
+    else:
+        linked_nodes, linked_map = link_entities(tuples, use_lsh=use_lsh)
+        nodes = stage("entity_nodes", lambda: linked_nodes)
+        phrase_map = stage("entity_map", lambda: linked_map)
+
+    def build_edges():
+        src_map = phrase_map.select(
+            F.col("phrase").alias("_sp"), F.col("entity_id").alias("subj_entity"))
+        dst_map = phrase_map.select(
+            F.col("phrase").alias("_op"), F.col("entity_id").alias("obj_entity"))
+        return (
+            tuples.join(src_map, tuples["s_c.text"] == F.col("_sp"), "left")
+            .join(dst_map, tuples["o_c.text"] == F.col("_op"), "left")
+            .drop("_sp", "_op")
+        )
+
+    stage("edges", build_edges, partition_by=("kind",))
+    return out

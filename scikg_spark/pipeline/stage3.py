@@ -1,0 +1,184 @@
+"""Stage 3: entity linking & canonicalization.
+
+The reference canonicalizes nodes only by exact ``phrase#offset`` string
+(MIMO_Extractor.py:170-221); cross-document linking is absent there. This
+stage is the rebuild's scale extension mandated by the north rule: group
+mention phrases into entities via
+
+  1. exact normalized-string grouping (lower, '_' -> ' '),
+  2. MinHash-LSH blocking over character shingles for near-duplicates,
+  3. connected components over the union of (1)+(2) edges by iterative
+     hash-min joins (no GraphFrames dependency), ``localCheckpoint`` per
+     round to cut lineage.
+
+Scale design: minhash signatures are computed in ONE aggregation pass
+(n_hashes min() columns over an exploded shingle frame — map-side partial
+aggregation applies); LSH buckets are capped (``max_bucket``) so a hot block
+(stopword-like phrases) cannot produce a quadratic pair explosion — the cap
+plus AQE skew-join handling is the documented skew strategy; candidate pairs
+are verified with a true-Jaccard vectorized UDF before becoming edges.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+
+def mention_phrases(tuples: DataFrame) -> DataFrame:
+    """Distinct concept phrases from subject/object slots ->
+    (phrase, phrase_id, norm)."""
+    phrases = (
+        tuples.select(
+            F.explode(F.array(F.col("s_c.text"), F.col("o_c.text"))).alias("phrase"))
+        .filter(F.col("phrase").isNotNull())
+        .distinct()
+    )
+    return phrases.select(
+        "phrase",
+        F.xxhash64("phrase").alias("phrase_id"),
+        F.lower(F.regexp_replace("phrase", "_", " ")).alias("norm"),
+    )
+
+
+def _shingles(name: str, k: int):
+    # k-char shingles of column `name`; short strings contribute themselves once
+    return F.expr(
+        f"case when length({name}) <= {k} then array({name}) "
+        f"else transform(sequence(0, length({name}) - {k}), "
+        f"i -> substring({name}, i + 1, {k})) end"
+    )
+
+
+def exact_edges(phrases: DataFrame) -> DataFrame:
+    """Edges between phrases sharing the normalized string: star to the
+    min phrase_id per group (avoids quadratic within-group pairs)."""
+    grouped = phrases.groupBy("norm").agg(F.min("phrase_id").alias("root"))
+    return (
+        phrases.join(grouped, "norm")
+        .filter(F.col("phrase_id") != F.col("root"))
+        .select(F.col("root").alias("src"), F.col("phrase_id").alias("dst"))
+    )
+
+
+def lsh_candidate_pairs(
+    phrases: DataFrame,
+    n_hashes: int = 16,
+    band_size: int = 4,
+    shingle_k: int = 3,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs (src < dst) over the ``norm`` strings."""
+    assert n_hashes % band_size == 0
+    exploded = phrases.select(
+        "phrase_id",
+        F.explode(_shingles("norm", shingle_k)).alias("shingle"),
+    )
+    sig = exploded.groupBy("phrase_id").agg(*[
+        F.min(F.xxhash64(F.concat(F.lit(f"seed{i}:"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(n_hashes)
+    ])
+    n_bands = n_hashes // band_size
+    band_cols = []
+    for b in range(n_bands):
+        parts = [F.col(f"h{b * band_size + j}") for j in range(band_size)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"),
+                     F.xxhash64(*parts).alias("key")).alias(f"b{b}"))
+    banded = sig.select("phrase_id", F.explode(F.array(*band_cols)).alias("bk")) \
+                .select("phrase_id", "bk.band", "bk.key")
+    # cap bucket width: hot buckets (near-stopword phrases) are dropped, not
+    # exploded into O(n^2) pairs
+    sized = banded.join(
+        banded.groupBy("band", "key").count().filter(F.col("count") <= max_bucket),
+        ["band", "key"])
+    left = sized.select("band", "key", F.col("phrase_id").alias("src"))
+    right = sized.select("band", "key", F.col("phrase_id").alias("dst"))
+    return (
+        left.join(right, ["band", "key"])
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+
+
+def verify_jaccard(
+    pairs: DataFrame, phrases: DataFrame, shingle_k: int = 3, threshold: float = 0.8
+) -> DataFrame:
+    """True shingle-set Jaccard filter on candidate pairs (vectorized UDF)."""
+    withs = (
+        pairs.join(phrases.select(F.col("phrase_id").alias("src"),
+                                  F.col("norm").alias("norm_src")), "src")
+        .join(phrases.select(F.col("phrase_id").alias("dst"),
+                             F.col("norm").alias("norm_dst")), "dst")
+    )
+
+    @F.pandas_udf("double")
+    def jaccard(a: pd.Series, b: pd.Series) -> pd.Series:
+        def sh(s):
+            return {s[i:i + shingle_k] for i in range(max(1, len(s) - shingle_k + 1))}
+        out = []
+        for x, y in zip(a, b):
+            sx, sy = sh(x), sh(y)
+            out.append(len(sx & sy) / float(len(sx | sy)) if (sx or sy) else 1.0)
+        return pd.Series(out)
+
+    return (
+        withs.withColumn("jaccard", jaccard("norm_src", "norm_dst"))
+        .filter(F.col("jaccard") >= threshold)
+        .select("src", "dst")
+    )
+
+
+def connected_components(edges: DataFrame, vertices: DataFrame,
+                         max_iter: int = 20) -> DataFrame:
+    """Hash-min label propagation: (id) -> (id, comp) with comp = min id in
+    the component. Iterative joins with localCheckpoint per round (bounded by
+    ``max_iter``; converges in O(component diameter) rounds — phrase
+    similarity components are shallow)."""
+    bidir = edges.union(edges.select(F.col("dst").alias("src"),
+                                     F.col("src").alias("dst")))
+    bidir = bidir.localCheckpoint()
+    comp = vertices.select(F.col("id"), F.col("id").alias("comp"))
+    for _ in range(max_iter):
+        nbr_min = (
+            bidir.join(comp, bidir["src"] == comp["id"])
+            .groupBy(bidir["dst"].alias("id2"))
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        updated = (
+            comp.join(nbr_min, comp["id"] == nbr_min["id2"], "left")
+            .select(
+                "id",
+                F.least(F.col("comp"), F.coalesce("nbr_comp", "comp")).alias("new_comp"),
+                F.col("comp"),
+            )
+        )
+        changed = updated.filter(F.col("new_comp") != F.col("comp")).limit(1).count()
+        comp = updated.select("id", F.col("new_comp").alias("comp")).localCheckpoint()
+        if changed == 0:
+            break
+    return comp
+
+
+def link_entities(tuples: DataFrame, lsh_threshold: float = 0.8,
+                  use_lsh: bool = True) -> tuple[DataFrame, DataFrame]:
+    """tuples -> (entity_nodes, phrase_map).
+
+    entity_nodes: entity_id, canonical (deterministic min norm in the
+    component), n_phrases. phrase_map: phrase -> entity_id.
+    """
+    phrases = mention_phrases(tuples).cache()
+    edges = exact_edges(phrases)
+    if use_lsh:
+        cand = lsh_candidate_pairs(phrases)
+        edges = edges.union(verify_jaccard(cand, phrases, threshold=lsh_threshold))
+    comp = connected_components(
+        edges, phrases.select(F.col("phrase_id").alias("id")))
+    mapped = phrases.join(comp, phrases["phrase_id"] == comp["id"]).select(
+        "phrase", "norm", F.col("comp").alias("entity_id"))
+    nodes = mapped.groupBy("entity_id").agg(
+        F.min("norm").alias("canonical"),
+        F.countDistinct("phrase").alias("n_phrases"),
+    )
+    return nodes, mapped.select("phrase", "entity_id")

@@ -1,0 +1,116 @@
+"""Stage 4: table materialization with snapshots, per-partition lineage and
+resumable restarts.
+
+On a production cluster these tables are Iceberg (``df.writeTo(catalog.table)
+.createOrReplace()`` — snapshot isolation, partition pruning, time travel).
+This sandbox has no Iceberg runtime jar, so ``SnapshotCatalog`` provides the
+same contract on plain parquet directories:
+
+  * atomic snapshot commit: data lands in ``<table>/snap-<id>/`` and the
+    table-level ``manifest.json`` flips to the new snapshot last (readers
+    always see a complete snapshot);
+  * per-partition lineage: every write records, per Spark partition,
+    ``(rows, checksum)`` (xor of row hashes) into the manifest — the
+    resume/metrics record the north rule asks for;
+  * resume: ``is_complete(table)`` lets a rerun skip finished stages and
+    ``read`` serves the committed snapshot, so a killed pipeline restarts
+    from its last snapshot without recomputing completed work.
+
+The writer API is deliberately Iceberg-shaped so swapping the backend is a
+one-module change.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+class SnapshotCatalog:
+    def __init__(self, spark: SparkSession, base_dir: str):
+        self.spark = spark
+        self.base_dir = base_dir
+        os.makedirs(base_dir, exist_ok=True)
+
+    # -- paths ------------------------------------------------------------
+    def _table_dir(self, table: str) -> str:
+        return os.path.join(self.base_dir, table)
+
+    def _manifest_path(self, table: str) -> str:
+        return os.path.join(self._table_dir(table), "manifest.json")
+
+    def manifest(self, table: str) -> dict | None:
+        path = self._manifest_path(table)
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            return json.load(f)
+
+    def is_complete(self, table: str) -> bool:
+        m = self.manifest(table)
+        return bool(m and m.get("status") == "committed")
+
+    # -- lineage ----------------------------------------------------------
+    @staticmethod
+    def _partition_lineage(df: DataFrame) -> list[dict]:
+        """Per-Spark-partition (rows, checksum) — one extra narrow job."""
+        stats = (
+            df.select(
+                F.spark_partition_id().alias("pid"),
+                F.xxhash64(*[F.col(c).cast("string") for c in df.columns]).alias("h"),
+            )
+            .groupBy("pid")
+            .agg(F.count("*").alias("rows"),
+                 F.expr("bit_xor(h)").alias("checksum"))
+            .collect()
+        )
+        return [
+            {"partition": r["pid"], "rows": r["rows"], "checksum": str(r["checksum"])}
+            for r in sorted(stats, key=lambda r: r["pid"])
+        ]
+
+    # -- write / read -----------------------------------------------------
+    def write(self, df: DataFrame, table: str, partition_by=(),
+              with_lineage: bool = True) -> dict:
+        t0 = time.time()
+        prev = self.manifest(table)
+        snap_id = (prev["snapshot_id"] + 1) if prev else 1
+        snap_dir = os.path.join(self._table_dir(table), f"snap-{snap_id}")
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(snap_dir)
+        committed = self.spark.read.parquet(snap_dir)
+        lineage = self._partition_lineage(committed) if with_lineage else []
+        manifest = {
+            "table": table,
+            "snapshot_id": snap_id,
+            "status": "committed",
+            "rows": sum(p["rows"] for p in lineage) if with_lineage else committed.count(),
+            "partition_by": list(partition_by),
+            "lineage": lineage,
+            "wall_ms": int((time.time() - t0) * 1000),
+            "parent": prev["snapshot_id"] if prev else None,
+        }
+        tmp = self._manifest_path(table) + ".tmp"
+        os.makedirs(self._table_dir(table), exist_ok=True)
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1)
+        os.replace(tmp, self._manifest_path(table))  # atomic commit point
+        return manifest
+
+    def read(self, table: str) -> DataFrame:
+        m = self.manifest(table)
+        if not m or m.get("status") != "committed":
+            raise FileNotFoundError(f"table {table!r} has no committed snapshot")
+        snap_dir = os.path.join(self._table_dir(table), f"snap-{m['snapshot_id']}")
+        return self.spark.read.parquet(snap_dir)
+
+    def write_metrics(self, stage: str, payload: dict):
+        """Append a stage-level metrics record (the `_metrics` table)."""
+        path = os.path.join(self.base_dir, "_metrics.jsonl")
+        with open(path, "a") as f:
+            f.write(json.dumps({"stage": stage, **payload}) + "\n")

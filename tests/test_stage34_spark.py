@@ -1,0 +1,126 @@
+"""Stage 3 (entity linking) and stage 4 (snapshots/lineage/resume) tests."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from scikg_spark.pipeline.stage1 import build_pages_from_documents
+from scikg_spark.pipeline.stage3 import (
+    connected_components,
+    exact_edges,
+    lsh_candidate_pairs,
+    link_entities,
+    mention_phrases,
+    verify_jaccard,
+)
+from scikg_spark.pipeline.stage4 import SnapshotCatalog
+from scikg_spark.pipeline.runner import run_pipeline
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def phrases_df(spark, phrases):
+    df = spark.createDataFrame([(p,) for p in phrases], "phrase string")
+    return df.select(
+        "phrase",
+        F.xxhash64("phrase").alias("phrase_id"),
+        F.lower(F.regexp_replace("phrase", "_", " ")).alias("norm"))
+
+
+class TestLinking:
+    def test_exact_edges_group_case_variants(self, spark):
+        df = phrases_df(spark, ["T_cells", "t_cells", "T_CELLS", "B_cells"])
+        edges = exact_edges(df).collect()
+        assert len(edges) == 2  # star over the 3 t-cell variants
+
+    def test_lsh_finds_near_duplicates(self, spark):
+        df = phrases_df(spark, [
+            "immune_response_in_mice", "immune_responses_in_mice",
+            "completely_different_phrase"])
+        pairs = lsh_candidate_pairs(df, max_bucket=16)
+        verified = verify_jaccard(pairs, df, threshold=0.6).collect()
+        assert len(verified) == 1
+
+    def test_connected_components_chain(self, spark):
+        # chain 1-2-3, isolated 4 -> comps {1,2,3}->1, {4}->4
+        edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+        verts = spark.createDataFrame([(1,), (2,), (3,), (4,)], "id long")
+        comp = {r.id: r.comp for r in connected_components(edges, verts).collect()}
+        assert comp == {1: 1, 2: 1, 3: 1, 4: 4}
+
+    def test_link_entities_end_to_end(self, spark):
+        from scikg_spark.pipeline.stage1 import extract_statements
+        from scikg_spark.pipeline.stage2 import decode_tuples, tag_statements
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(80)
+        tuples = decode_tuples(tag_statements(
+            extract_statements(build_pages_from_documents(docs)), mode="rule"))
+        nodes, phrase_map = link_entities(tuples)
+        n_phrases = mention_phrases(tuples).count()
+        assert phrase_map.count() == n_phrases  # every phrase mapped
+        assert 0 < nodes.count() <= n_phrases
+        # entity ids are component minima: stable across reruns
+        again, _ = link_entities(tuples)
+        assert sorted(r.entity_id for r in nodes.collect()) == \
+               sorted(r.entity_id for r in again.collect())
+
+
+class TestSnapshots:
+    def test_write_read_roundtrip_and_lineage(self, spark, tmp_path):
+        cat = SnapshotCatalog(spark, str(tmp_path))
+        df = spark.range(100).withColumn("v", F.col("id") * 2)
+        manifest = cat.write(df, "t1")
+        assert manifest["status"] == "committed"
+        assert manifest["rows"] == 100
+        assert sum(p["rows"] for p in manifest["lineage"]) == 100
+        assert cat.read("t1").count() == 100
+
+    def test_snapshot_increments(self, spark, tmp_path):
+        cat = SnapshotCatalog(spark, str(tmp_path))
+        cat.write(spark.range(5), "t")
+        m2 = cat.write(spark.range(7), "t")
+        assert m2["snapshot_id"] == 2 and m2["parent"] == 1
+        assert cat.read("t").count() == 7
+
+    def test_incomplete_table_not_readable(self, spark, tmp_path):
+        cat = SnapshotCatalog(spark, str(tmp_path))
+        os.makedirs(tmp_path / "broken" / "snap-1")
+        assert not cat.is_complete("broken")
+        with pytest.raises(FileNotFoundError):
+            cat.read("broken")
+
+
+class TestResume:
+    def test_kill_and_resume(self, spark, tmp_path):
+        """Run stages 1-2, 'kill' before stage 3 completes, rerun: completed
+        stages are served from snapshots (not recomputed) and final tables
+        are identical to a clean run."""
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(60)
+        pages = build_pages_from_documents(docs).cache()
+
+        base = str(tmp_path / "wh")
+        cat = SnapshotCatalog(spark, base)
+        run_pipeline(spark, pages, catalog=cat, use_lsh=False)
+
+        # simulate a crash between stage-2 commit and stage-3 commit: wipe the
+        # later tables' manifests
+        for t in ("entity_nodes", "entity_map", "edges"):
+            os.remove(os.path.join(base, t, "manifest.json"))
+
+        cat2 = SnapshotCatalog(spark, base)
+        run_pipeline(spark, pages, catalog=cat2, use_lsh=False)
+
+        metrics = [json.loads(l) for l in open(os.path.join(base, "_metrics.jsonl"))]
+        second = metrics[5:]
+        resumed = {m["stage"] for m in second if m.get("resumed")}
+        assert {"statements", "tuples"} <= resumed          # not recomputed
+        assert "edges" not in resumed                        # recomputed
+
+        # identical final table vs a clean-room run
+        clean = SnapshotCatalog(spark, str(tmp_path / "clean"))
+        run_pipeline(spark, pages, catalog=clean, use_lsh=False)
+        a = sorted(map(str, cat2.read("edges").collect()))
+        b = sorted(map(str, clean.read("edges").collect()))
+        assert a == b
