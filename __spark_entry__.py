@@ -1,38 +1,93 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship KG-extraction query at sf0.001; ``queries`` maps
+every implemented operator family (SURVEY.md §2 + the training-data ops) to a
+``(spark, sf_dir) -> DataFrame`` callable; ``oracle_sql`` carries the DuckDB
+mirror for every SQL-expressible query (KG decode queries are rows-only by
+nature — their oracle is the pure-Python reference decode gated in
+tests/test_pipeline_spark.py).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _repo_on_executors(spark: SparkSession) -> None:
+    # driver-created sessions don't run through scikg's get_spark(); make the
+    # package importable inside Python workers regardless
+    root = os.path.dirname(os.path.abspath(__file__))
+    current = os.environ.get("PYTHONPATH", "")
+    if root not in current.split(os.pathsep):
+        os.environ["PYTHONPATH"] = root + (os.pathsep + current if current else "")
+    try:
+        spark.sparkContext.addPyFile  # probe
+        from scikg_spark.jobs.package import build_zip
+
+        spark.sparkContext.addPyFile(build_zip())
+    except Exception:
+        pass
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: documents -> pages -> statements -> decoded triples."""
+    _repo_on_executors(spark)
+    from scikg_spark.ops.kg import kg_triples
+
+    return kg_triples(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from scikg_spark.ops import dedup, kg, relational, similarity, text
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def wrap(fn):
+        def run(spark, sf_dir):
+            _repo_on_executors(spark)
+            return fn(spark, sf_dir)
+        return run
+
+    qs = {
+        # relational operator coverage (joins/aggs/windows/set-ops)
+        "q_pricing_summary": relational.q_pricing_summary,
+        "q_top_customer_revenue": relational.q_top_customer_revenue,
+        "q_user_first_event": relational.q_user_first_event,
+        "q_event_type_overlap": relational.q_event_type_overlap,
+        "q_nation_order_priority": relational.q_nation_order_priority,
+        # text analysis
+        "q_token_counts": text.q_token_counts,
+        "q_quality": text.q_quality,
+        "q_lang_stats": text.q_lang_stats,
+        "q_fingerprint": text.q_fingerprint,
+        "q_langid": text.q_langid,
+        # deduplication
+        "q_dedup_exact": dedup.q_dedup_exact,
+        "q_minhash_dup_pairs": dedup.q_minhash_dup_pairs,
+        "q_ngram_jaccard_pairs": dedup.q_ngram_jaccard_pairs,
+        "q_simhash_buckets": dedup.q_simhash_buckets,
+        # similarity search
+        "q_embedding_norms": similarity.q_embedding_norms,
+        "q_cosine_topk": similarity.q_cosine_topk,
+        "q_ann_lsh_buckets": similarity.q_ann_lsh_buckets,
+        # KG construction (rows-only: decode semantics are non-SQL; their
+        # oracle is the reference decode, gated in pytest)
+        "kg_triples": kg.kg_triples,
+        "kg_top_facts": kg.kg_top_facts,
+        "kg_entity_nodes": kg.kg_entity_nodes,
+        "kg_statement_stats": kg.kg_statement_stats,
+    }
+    return {name: wrap(fn) for name, fn in qs.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from scikg_spark.ops import dedup, relational, similarity, text
+
+    out: dict[str, str] = {}
+    for module in (relational, text, dedup, similarity):
+        out.update(module.ORACLE)
+    return out

@@ -1,0 +1,192 @@
+"""Deduplication operators over ``documents``:
+
+  * exact        — md5(text) hash-groupBy
+  * MinHash-LSH  — word-3-gram shingles -> 8 md5-minhashes -> bands of 2 ->
+                   candidate pairs sharing a band (banding is pure SQL on both
+                   engines, so the oracle checks the full scheme)
+  * n-gram Jaccard — word-bigram set overlap within (lang, source) blocks
+  * SimHash      — 16-bit md5-token sketch (rows-only; hex->int differs
+                   across engines, see q_simhash docstring)
+
+Scale notes: all pair generation goes through explode + equi-join on a
+blocking key (band / bucket+bigram) — never a cross join; bucket widths are
+bounded by the group-by-count guard so a hot shingle cannot explode."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+_N_HASHES = 8
+_BAND_SIZE = 2
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def q_dedup_exact(spark, sf_dir):
+    return (
+        _docs(spark, sf_dir)
+        .groupBy(F.md5("text").alias("text_hash"))
+        .agg(F.count("*").alias("n_dups"), F.min("doc_id").alias("keep_doc_id"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def _word_shingles(k: int):
+    """word k-gram strings of `text` (empty array when too short)."""
+    return F.expr(
+        "case when size(split(text, ' ')) < {k} then array() "
+        "else transform(sequence(0, size(split(text, ' ')) - {k}), "
+        "i -> concat_ws(' ', slice(split(text, ' '), i + 1, {k}))) end"
+        .format(k=k))
+
+
+def q_minhash_dup_pairs(spark, sf_dir):
+    """Candidate near-duplicate pairs: docs sharing >= 1 LSH band."""
+    shingled = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(_word_shingles(3)).alias("shingle"))
+        .distinct()
+    )
+    sig = shingled.groupBy("doc_id").agg(*[
+        F.min(F.md5(F.concat(F.lit(f"s{i}:"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(_N_HASHES)
+    ])
+    bands = []
+    for b in range(_N_HASHES // _BAND_SIZE):
+        cols = [F.col(f"h{b * _BAND_SIZE + j}") for j in range(_BAND_SIZE)]
+        bands.append(F.struct(
+            F.lit(b).alias("band"), F.concat_ws("|", *cols).alias("key")))
+    banded = (
+        sig.select("doc_id", F.explode(F.array(*bands)).alias("bk"))
+        .select("doc_id", "bk.band", "bk.key")
+    )
+    left = banded.select("band", "key", F.col("doc_id").alias("doc_a"))
+    right = banded.select("band", "key", F.col("doc_id").alias("doc_b"))
+    return (
+        left.join(right, ["band", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir, threshold: float = 0.5):
+    """Word-bigram Jaccard >= threshold within (lang, source) blocks.
+    Pairs form via equi-join on (block, bigram), intersection counts by
+    group-by, union sizes from per-doc distinct counts."""
+    docs = _docs(spark, sf_dir).filter(F.size(F.split("text", " ")) >= 2)
+    grams = (
+        docs.select("doc_id", "lang", "source",
+                    F.explode(_word_shingles(2)).alias("gram"))
+        .distinct()
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    a = grams.select("lang", "source", F.col("doc_id").alias("doc_a"), "gram")
+    b = grams.select("lang", "source", F.col("doc_id").alias("doc_b"), "gram")
+    inter = (
+        a.join(b, ["lang", "source", "gram"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_grams").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_grams").alias("nb"))
+    return (
+        inter.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_common") /
+                    (F.col("na") + F.col("nb") - F.col("n_common")), 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def q_simhash_buckets(spark, sf_dir):
+    """16-bit SimHash from md5 of tokens; returns buckets with >1 doc.
+
+    Rows-only check downstream: Spark's conv(hex) and DuckDB's hex parsing
+    disagree on types, so the oracle is omitted by design."""
+    docs = _docs(spark, sf_dir).filter(F.col("n_chars") > 0)
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok"))
+    hashed = toks.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long").alias("h"))
+    bits = hashed.select(
+        "doc_id",
+        *[(F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1)
+           .otherwise(-1)).alias(f"b{i}") for i in range(16)])
+    agg = bits.groupBy("doc_id").agg(
+        *[F.sum(f"b{i}").alias(f"s{i}") for i in range(16)])
+    simhash = agg.select(
+        "doc_id",
+        sum([
+            F.when(F.col(f"s{i}") > 0, F.lit(2 ** i)).otherwise(F.lit(0))
+            for i in range(16)
+        ], F.lit(0)).alias("simhash"))
+    return (
+        simhash.groupBy("simhash")
+        .agg(F.count("*").alias("n_docs"), F.sort_array(F.collect_list("doc_id")).alias("doc_ids"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def _sql_shingles(k: int) -> str:
+    toks = "string_split(text, ' ')"
+    return (f"list_transform(generate_series(1, len({toks}) - {k - 1}), "
+            f"i -> array_to_string({toks}[i:i+{k - 1}], ' '))")
+
+
+ORACLE = {
+    "q_dedup_exact": """
+        SELECT md5(text) AS text_hash, count(*) AS n_dups,
+               min(doc_id) AS keep_doc_id
+        FROM documents GROUP BY 1 HAVING count(*) > 1
+    """,
+    "q_minhash_dup_pairs": f"""
+        WITH shingled AS (
+            SELECT DISTINCT doc_id, unnest({_sql_shingles(3)}) AS shingle
+            FROM documents WHERE len(string_split(text, ' ')) >= 3
+        ),
+        sig AS (
+            SELECT doc_id,
+                   {', '.join(f"min(md5('s{i}:' || shingle)) AS h{i}"
+                              for i in range(_N_HASHES))}
+            FROM shingled GROUP BY doc_id
+        ),
+        banded AS (
+            {' UNION ALL '.join(
+                f"SELECT doc_id, {b} AS band, "
+                f"h{b * _BAND_SIZE} || '|' || h{b * _BAND_SIZE + 1} AS key FROM sig"
+                for b in range(_N_HASHES // _BAND_SIZE))}
+        )
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    """,
+    "q_ngram_jaccard_pairs": f"""
+        WITH grams AS (
+            SELECT DISTINCT doc_id, lang, source,
+                   unnest({_sql_shingles(2)}) AS gram
+            FROM documents WHERE len(string_split(text, ' ')) >= 2
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+            FROM grams a JOIN grams b
+              ON a.lang = b.lang AND a.source = b.source
+             AND a.gram = b.gram AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               round(n_common * 1.0 / (sa.n_grams + sb.n_grams - n_common), 4)
+                   AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE round(n_common * 1.0 / (sa.n_grams + sb.n_grams - n_common), 4) >= 0.5
+    """,
+}

@@ -1,0 +1,63 @@
+"""KG-construction queries over the synthesized pages corpus (rows-only
+driver checks: tag decoding is not SQL-expressible — the oracle for these is
+the pure-Python reference decode, gated in tests/test_pipeline_spark.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from scikg_spark.pipeline.stage1 import build_pages_from_documents, extract_statements
+from scikg_spark.pipeline.stage2 import decode_tuples, tag_statements
+from scikg_spark.pipeline.stage3 import link_entities
+
+
+def _tuples(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pages = build_pages_from_documents(docs)
+    return decode_tuples(tag_statements(extract_statements(pages), mode="rule"))
+
+
+def kg_triples(spark, sf_dir):
+    """Flagship: the full extraction path, one row per emitted triple."""
+    return _tuples(spark, sf_dir).select(
+        "doc_id", "stmt_id", "kind", "tuple_idx", "subj", "pred", "obj")
+
+
+def kg_top_facts(spark, sf_dir):
+    """Top (subj, pred, obj) fact patterns with per-statement condition
+    support attached — the 'conditional statement' query shape the reference
+    exists for."""
+    t = _tuples(spark, sf_dir)
+    facts = t.filter(F.col("kind") == "f")
+    conds = (
+        t.filter(F.col("kind") == "c")
+        .groupBy("doc_id", "stmt_id")
+        .agg(F.count("*").alias("n_conditions"))
+    )
+    return (
+        facts.join(conds, ["doc_id", "stmt_id"], "left")
+        .fillna(0, subset=["n_conditions"])
+        .groupBy("subj", "pred", "obj")
+        .agg(F.count("*").alias("support"),
+             F.sum("n_conditions").alias("total_conditions"))
+        .orderBy(F.desc("support"), "subj", "pred", "obj")
+        .limit(50)
+    )
+
+
+def kg_entity_nodes(spark, sf_dir):
+    """Stage-3 canonical entities over the extracted concept mentions."""
+    nodes, _ = link_entities(_tuples(spark, sf_dir))
+    return nodes.orderBy("entity_id")
+
+
+def kg_statement_stats(spark, sf_dir):
+    """Per-document extraction statistics (correction-chain observability)."""
+    t = _tuples(spark, sf_dir)
+    return (
+        t.groupBy("doc_id")
+        .agg(
+            F.countDistinct("stmt_id").alias("n_statements"),
+            F.sum(F.when(F.col("kind") == "f", 1).otherwise(0)).alias("n_facts"),
+            F.sum(F.when(F.col("kind") == "c", 1).otherwise(0)).alias("n_conditions"))
+    )

@@ -1,0 +1,146 @@
+"""Relational operator coverage over the TPC-H-ish tables — the rebuild's
+joins/aggregations/windows/set-ops (SURVEY.md §2.3-2.6 map these to Spark
+built-ins; these queries prove the mappings under the DuckDB oracle).
+
+Plan hygiene: dimension sides are broadcast, filters sit on the scan
+(pushed-down parquet predicates), aggregates are partial-before-shuffle."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-style roll-up (A1/A4 aggregation analog)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .alias("sum_disc_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_top_customer_revenue(spark, sf_dir):
+    """3-way join + top-k (broadcast the dimension chain)."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.join(F.broadcast(orders), li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("c_custkey", "c_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+def q_user_first_event(spark, sf_dir):
+    """Window function coverage (O3 argmax-per-group analog)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type",
+                F.round("value", 4).alias("value_r"))
+    )
+
+
+def q_event_type_overlap(spark, sf_dir):
+    """Set-op coverage: users having BOTH of the two most common event types
+    (INTERSECT), minus users of the rarest (EXCEPT)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    types = [r["event_type"] for r in
+             ev.groupBy("event_type").count()
+             .orderBy(F.desc("count"), F.asc("event_type")).collect()]
+    top1, top2, rare = types[0], types[1], types[-1]
+    u = lambda t: ev.filter(F.col("event_type") == t).select("user_id").distinct()
+    return (
+        u(top1).intersect(u(top2)).exceptAll(u(rare))
+        .orderBy("user_id")
+    )
+
+
+def q_nation_order_priority(spark, sf_dir):
+    """Grouped aggregation through a snowflake join with pushed filters."""
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        orders.filter(F.col("o_totalprice") > 1000.0)
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("n_name", "o_orderpriority")
+        .agg(F.count("*").alias("n_orders"),
+             F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+
+
+ORACLE = {
+    "q_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(avg(l_discount), 4) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= DATE '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "q_top_customer_revenue": """
+        SELECT c_custkey, c_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_custkey, c_name
+        ORDER BY revenue DESC, c_custkey ASC
+        LIMIT 20
+    """,
+    "q_user_first_event": """
+        SELECT user_id, event_id, event_type, round(value, 4) AS value_r
+        FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                           ORDER BY ts ASC, event_id ASC) AS rn
+              FROM events)
+        WHERE rn = 1
+    """,
+    "q_event_type_overlap": """
+        WITH counts AS (
+            SELECT event_type, count(*) AS c FROM events
+            GROUP BY 1 ORDER BY c DESC, event_type ASC
+        ),
+        tops AS (SELECT event_type, row_number() OVER (ORDER BY c DESC, event_type ASC) AS r
+                 FROM counts),
+        rare AS (SELECT event_type, row_number() OVER (ORDER BY c ASC, event_type DESC) AS r
+                 FROM counts)
+        SELECT DISTINCT user_id FROM events
+        WHERE event_type = (SELECT event_type FROM tops WHERE r = 1)
+          AND user_id IN (SELECT user_id FROM events
+                          WHERE event_type = (SELECT event_type FROM tops WHERE r = 2))
+          AND user_id NOT IN (SELECT user_id FROM events
+                              WHERE event_type = (SELECT event_type FROM rare WHERE r = 1))
+        ORDER BY user_id
+    """,
+    "q_nation_order_priority": """
+        SELECT n_name, o_orderpriority,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE o_totalprice > 1000.0
+        GROUP BY n_name, o_orderpriority
+    """,
+}

@@ -1,0 +1,126 @@
+"""Text-analysis operators over ``documents(doc_id, text, lang, source,
+n_chars)``: token counting, quality scoring, language stats, document
+fingerprinting, and a stopword-based language-ID heuristic.
+
+Every op has a DuckDB oracle mirror (ORACLE dict) — the Spark plan and the
+SQL must agree column-for-column, so computed columns are aliased identically
+on both sides. All Spark expressions are JVM-side built-ins (whole-stage
+codegen; no Python)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+STOPWORDS = ("the", "a")
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def q_token_counts(spark, sf_dir):
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+            F.col("n_chars"),
+            "lang")
+        .filter(F.col("n_chars") > 0)
+    )
+
+
+def q_quality(spark, sf_dir):
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    df = _docs(spark, sf_dir).filter(F.col("n_chars") > 0).select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        F.round(stop_hits / n, 4).alias("stopword_ratio"),
+        F.round((F.length("text") - n + 1) / n, 4).alias("avg_token_len"),
+    )
+    return df.withColumn(
+        "quality",
+        F.when(F.col("n_tokens") < 20, "short")
+        .when(F.col("stopword_ratio") > 0.10, "stopwordy")
+        .otherwise("ok"))
+
+
+def q_lang_stats(spark, sf_dir):
+    return (
+        _docs(spark, sf_dir)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg(F.size(F.split("text", " "))), 4).alias("avg_tokens"),
+            F.countDistinct("source").alias("n_sources"),
+            F.sum("n_chars").alias("total_chars"))
+    )
+
+
+def q_fingerprint(spark, sf_dir):
+    return (
+        _docs(spark, sf_dir)
+        .filter(F.col("n_chars") >= 64)
+        .select(
+            "doc_id",
+            F.md5(F.substring("text", 1, 64)).alias("fingerprint"))
+    )
+
+
+def q_langid(spark, sf_dir):
+    """Stopword-hit language heuristic (deterministic; parity with the SQL
+    oracle is the contract, not linguistic accuracy)."""
+    toks = F.split("text", " ")
+    ratio = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))) / F.size(toks)
+    return (
+        _docs(spark, sf_dir)
+        .filter(F.col("n_chars") > 0)
+        .select(
+            "doc_id",
+            "lang",
+            F.when(ratio >= 0.05, "en_like").otherwise("other").alias("pred_lang"))
+    )
+
+
+_TOKS = "string_split(text, ' ')"
+_STOP_HITS = f"len(list_filter({_TOKS}, t -> t in ('the','a')))"
+
+ORACLE = {
+    "q_token_counts": f"""
+        SELECT doc_id, len({_TOKS}) AS n_tokens, n_chars, lang
+        FROM documents WHERE n_chars > 0
+    """,
+    "q_quality": f"""
+        SELECT doc_id, n_tokens, stopword_ratio, avg_token_len,
+               CASE WHEN n_tokens < 20 THEN 'short'
+                    WHEN stopword_ratio > 0.10 THEN 'stopwordy'
+                    ELSE 'ok' END AS quality
+        FROM (
+            SELECT doc_id,
+                   len({_TOKS}) AS n_tokens,
+                   round({_STOP_HITS} * 1.0 / len({_TOKS}), 4) AS stopword_ratio,
+                   round((length(text) - len({_TOKS}) + 1) * 1.0 / len({_TOKS}), 4)
+                       AS avg_token_len
+            FROM documents WHERE n_chars > 0)
+    """,
+    "q_lang_stats": f"""
+        SELECT lang,
+               count(*) AS n_docs,
+               round(avg(len({_TOKS})), 4) AS avg_tokens,
+               count(DISTINCT source) AS n_sources,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM documents GROUP BY lang
+    """,
+    "q_fingerprint": """
+        SELECT doc_id, md5(substring(text, 1, 64)) AS fingerprint
+        FROM documents WHERE n_chars >= 64
+    """,
+    "q_langid": f"""
+        SELECT doc_id, lang,
+               CASE WHEN {_STOP_HITS} * 1.0 / len({_TOKS}) >= 0.05
+                    THEN 'en_like' ELSE 'other' END AS pred_lang
+        FROM documents WHERE n_chars > 0
+    """,
+}
