@@ -1,0 +1,75 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line.
+
+Headline = the fused KG-extraction pipeline (triples/sec is THE BASELINE.json
+metric) + stage-3 entity linking + the dedup/similarity/text/relational ops.
+Each query is timed to full materialization (count), after one tiny warmup to
+exclude Python-worker cold start. Two-parallelism scaling evidence lives in
+scikg_spark/jobs/bench_scaling.py -> BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", 0) or os.cpu_count() or 8)
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = -1.0
+
+    from scikg_spark.ops import dedup, kg, relational, similarity, text
+    from scikg_spark.pipeline.session import get_spark
+
+    spark = get_spark(app_name="scikg-bench", cores=cores,
+                      shuffle_partitions=max(cores * 2, 16))
+    queries = {
+        "kg_pipeline": kg.kg_triples,
+        "kg_top_facts": kg.kg_top_facts,
+        "kg_entity_nodes": kg.kg_entity_nodes,
+        "dedup_exact": dedup.q_dedup_exact,
+        "dedup_minhash": dedup.q_minhash_dup_pairs,
+        "dedup_ngram_jaccard": dedup.q_ngram_jaccard_pairs,
+        "sim_cosine_topk": similarity.q_cosine_topk,
+        "text_quality": text.q_quality,
+        "rel_pricing_summary": relational.q_pricing_summary,
+        "rel_top_customer": relational.q_top_customer_revenue,
+    }
+    try:
+        # warm python workers once (tiny slice of the flagship path)
+        kg.kg_triples(spark, "/root/testdata/sf0.001").count()
+
+        timings: dict[str, float] = {}
+        counts: dict[str, int] = {}
+        for name, fn in queries.items():
+            t0 = time.time()
+            counts[name] = fn(spark, sf_dir).count()
+            timings[name] = round(time.time() - t0, 3)
+
+        total = round(sum(timings.values()), 3)
+        print(json.dumps({
+            "metric": "headline_total",
+            "value": total,
+            "unit": "sec",
+            "sf": sf,
+            "cores": cores,
+            "queries": timings,
+            "rows": counts,
+            "triples": counts["kg_pipeline"],
+            "triples_per_sec": round(counts["kg_pipeline"] / timings["kg_pipeline"], 1),
+        }))
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -6,15 +6,15 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from scikg_spark.pipeline.stage1 import build_pages_from_documents, extract_statements
-from scikg_spark.pipeline.stage2 import decode_tuples, tag_statements
+from scikg_spark.pipeline.fused import pages_to_tuples
+from scikg_spark.pipeline.stage1 import build_pages_from_documents
 from scikg_spark.pipeline.stage3 import link_entities
 
 
 def _tuples(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     pages = build_pages_from_documents(docs)
-    return decode_tuples(tag_statements(extract_statements(pages), mode="rule"))
+    return pages_to_tuples(pages)
 
 
 def kg_triples(spark, sf_dir):

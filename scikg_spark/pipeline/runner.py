@@ -13,6 +13,7 @@ import time
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from scikg_spark.pipeline.fused import extract_tuples
 from scikg_spark.pipeline.stage1 import extract_statements
 from scikg_spark.pipeline.stage2 import decode_tuples, tag_statements
 from scikg_spark.pipeline.stage3 import link_entities
@@ -56,11 +57,16 @@ def run_pipeline(
 
     statements = stage(
         "statements", lambda: extract_statements(pages, lang=lang))
-    tuples = stage(
-        "tuples",
-        lambda: decode_tuples(
-            tag_statements(statements, mode=tagger, gold=gold, **corrections)),
-        partition_by=("kind",))
+
+    def build_tuples():
+        if tagger == "rule":
+            # fused single-Python-pass (tag+correct+decode); chained
+            # mapInPandas would run 2 workers per task slot (see fused.py)
+            return extract_tuples(statements, **corrections)
+        return decode_tuples(
+            tag_statements(statements, mode=tagger, gold=gold, **corrections))
+
+    tuples = stage("tuples", build_tuples, partition_by=("kind",))
 
     # stage 3 produces two tables from one computation; resume only when BOTH
     # are committed, otherwise recompute once and commit both

@@ -139,7 +139,15 @@ def connected_components(edges: DataFrame, vertices: DataFrame,
     bidir = edges.union(edges.select(F.col("dst").alias("src"),
                                      F.col("src").alias("dst")))
     bidir = bidir.localCheckpoint()
+    # size the per-round shuffles to the actual edge count: tiny graphs get a
+    # handful of partitions instead of spark.sql.shuffle.partitions-many
+    # micro-tasks per iteration (at 10^12-doc scale the default takes over)
+    n_edges = bidir.count()
+    n_parts = max(2, min(int(edges.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions")), n_edges // 50_000 + 2))
+    bidir = bidir.repartition(n_parts, "src")
     comp = vertices.select(F.col("id"), F.col("id").alias("comp"))
+    comp = comp.repartition(n_parts, "id")
     for _ in range(max_iter):
         nbr_min = (
             bidir.join(comp, bidir["src"] == comp["id"])
@@ -151,14 +159,14 @@ def connected_components(edges: DataFrame, vertices: DataFrame,
             .select(
                 "id",
                 F.least(F.col("comp"), F.coalesce("nbr_comp", "comp")).alias("new_comp"),
-                F.col("comp"),
+                F.col("comp").alias("old_comp"),
             )
+            .localCheckpoint()  # eager: one materialization per round
         )
-        changed = updated.filter(F.col("new_comp") != F.col("comp")).limit(1).count()
-        comp = updated.select("id", F.col("new_comp").alias("comp")).localCheckpoint()
-        if changed == 0:
+        comp = updated.select("id", F.col("new_comp").alias("comp"))
+        if updated.filter(F.col("new_comp") != F.col("old_comp")).limit(1).count() == 0:
             break
-    return comp
+    return comp.localCheckpoint()
 
 
 def link_entities(tuples: DataFrame, lsh_threshold: float = 0.8,
