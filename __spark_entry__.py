@@ -44,7 +44,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from scikg_spark.ops import dedup, kg, relational, similarity, text
+    from scikg_spark.ops import dedup, kg, multimodal, relational, similarity, text
 
     def wrap(fn):
         def run(spark, sf_dir):
@@ -74,6 +74,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embedding_norms": similarity.q_embedding_norms,
         "q_cosine_topk": similarity.q_cosine_topk,
         "q_ann_lsh_buckets": similarity.q_ann_lsh_buckets,
+        # multimodal plumbing (decode stubbed behind a deterministic fake
+        # container; rows-only)
+        "q_media_features": multimodal.q_media_features,
         # KG construction (rows-only: decode semantics are non-SQL; their
         # oracle is the reference decode, gated in pytest)
         "kg_triples": kg.kg_triples,

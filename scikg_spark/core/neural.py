@@ -1,0 +1,256 @@
+"""MIMO-style neural tagger: numpy forward pass (M1-M5), broadcast-weight
+friendly.
+
+Mirrors the reference architecture's SHAPE (citations into /root/reference):
+  * gated multi-input encoder  — word emb + gated projections of POS/CAP/
+    POSCAP/LM features into a BiLSTM, hidden 300 per direction
+    (Stmt_Extraction_Net.py:72-172; dims :29-53; gates :146-163)
+  * custom LSTM decoder with tag-context state and TWO output heads (fact,
+    condition), 11 logits each; condition head optionally conditioned on the
+    fact softmax ("enhance") (Stmt_Extraction_Net.py:269-366, heads :343-355)
+  * LM featurizer — single-layer LSTM producing 200-d contextual features
+    (model.py:44-50, applied utils.py:421-447), config-gated like the
+    reference's lm/pos/cap model bits (utils.py:2679-2698)
+  * ensemble combiner — y = sum_i w_i * distrib_i + b over 3 single models,
+    then log-softmax (Stmt_Extraction_Net.py:429-480)
+
+The reference's pretrained blobs are not shipped (README.md:45-51 Dropbox
+links), so weights here are seeded fixtures: the tagger is plug-compatible
+with real trained weights (same parameter dict), the P/R gate runs on the
+gold path, and this module carries the COMPUTE shape for throughput work.
+Word vectors use a hashing trick (vocab-free, deterministic per token) in
+place of the 50-d word2vec scan (load_pretrained_word_embeddings.py:47-63).
+
+Everything is float32 numpy, vectorized over the batch dimension with a
+sequential scan over time — the in-UDF replacement for the reference's
+pack_padded_sequence machinery. Statements are processed in length-sorted
+micro-batches of ``batch_size`` (default 50 = MIMO_Extractor.py:84) to
+minimize padding waste (the reference's O1 sort, MIMO_Extractor.py:71-79).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+from scikg_spark.core.tags import CAP_TAGS, FACT_TAGS, COND_TAGS, POS_TAGS
+
+WORD_DIM = 50      # train.py:81-82
+POS_DIM = 6        # ceil(log2(36)), Stmt_Extraction_Net.py:31-36
+CAP_DIM = 3        # ceil(log2(7))
+LM_DIM = 200       # Stmt_Extraction_Net.py:44-45
+HIDDEN = 300       # train.py:83
+N_TAGS = 11
+
+
+def _rng_mat(rng, *shape):
+    return (rng.standard_normal(shape) * 0.08).astype(np.float32)
+
+
+def _sigmoid(x):
+    return 1.0 / (1.0 + np.exp(-x))
+
+
+def _log_softmax(x, axis=-1):
+    m = x.max(axis=axis, keepdims=True)
+    e = np.exp(x - m)
+    return (x - m) - np.log(e.sum(axis=axis, keepdims=True))
+
+
+def hash_word_vectors(words, dim=WORD_DIM):
+    """Deterministic vocab-free word vectors: seed numpy from md5(word).
+    Stand-in for the frozen word2vec matrix (broadcast in production)."""
+    out = np.empty((len(words), dim), dtype=np.float32)
+    for i, w in enumerate(words):
+        h = int(hashlib.md5(w.lower().encode()).hexdigest()[:8], 16)
+        rs = np.random.RandomState(h % (2**31 - 1))
+        out[i] = rs.standard_normal(dim).astype(np.float32) * 0.3
+    return out
+
+
+class _LSTMCell:
+    """Plain LSTM cell parameters; step() is batched (B, dim)."""
+
+    def __init__(self, rng, in_dim, hidden):
+        self.w = _rng_mat(rng, in_dim + hidden, 4 * hidden)
+        self.b = np.zeros(4 * hidden, dtype=np.float32)
+        self.hidden = hidden
+
+    def step(self, x, h, c):
+        z = np.concatenate([x, h], axis=1) @ self.w + self.b
+        H = self.hidden
+        i = _sigmoid(z[:, :H])
+        f = _sigmoid(z[:, H:2 * H])
+        g = np.tanh(z[:, 2 * H:3 * H])
+        o = _sigmoid(z[:, 3 * H:])
+        c2 = f * c + i * g
+        return o * np.tanh(c2), c2
+
+
+class MimoTagger:
+    """Single model (one LM/POS/CAP feature config) or 3-model ensemble."""
+
+    def __init__(self, seed=824, use_lm=False, use_pos=True, use_cap=True,
+                 enhance=True, batch_size=50):
+        rng = np.random.default_rng(seed)
+        self.use_lm, self.use_pos, self.use_cap = use_lm, use_pos, use_cap
+        self.enhance = enhance
+        self.batch_size = batch_size
+        self.pos_emb = _rng_mat(rng, len(POS_TAGS) + 1, POS_DIM)
+        self.cap_emb = _rng_mat(rng, len(CAP_TAGS) + 1, CAP_DIM)
+        # gated projections into word space (w_lm analog, Stmt_... :45)
+        self.w_pos = _rng_mat(rng, POS_DIM, WORD_DIM)
+        self.g_pos = _rng_mat(rng, POS_DIM, WORD_DIM)
+        self.w_cap = _rng_mat(rng, CAP_DIM, WORD_DIM)
+        self.g_cap = _rng_mat(rng, CAP_DIM, WORD_DIM)
+        self.w_lm = _rng_mat(rng, LM_DIM, WORD_DIM)
+        self.g_lm = _rng_mat(rng, LM_DIM, WORD_DIM)
+        # encoder BiLSTM
+        self.enc_f = _LSTMCell(rng, WORD_DIM, HIDDEN)
+        self.enc_b = _LSTMCell(rng, WORD_DIM, HIDDEN)
+        # decoder LSTM with tag-context input (2*HIDDEN enc + 2*N_TAGS tag ctx)
+        self.dec = _LSTMCell(rng, 2 * HIDDEN + 2 * N_TAGS, HIDDEN)
+        self.head_fact = _rng_mat(rng, HIDDEN, N_TAGS)
+        self.head_cond = _rng_mat(rng, HIDDEN + (N_TAGS if enhance else 0), N_TAGS)
+        # LM: single-layer LSTM over hashed inputs (M1), config-gated
+        self.lm_cell = _LSTMCell(rng, WORD_DIM, LM_DIM) if use_lm else None
+
+    # -- featurization ------------------------------------------------------
+    def _inputs(self, batch_words, batch_pos, batch_cap, T):
+        B = len(batch_words)
+        x = np.zeros((B, T, WORD_DIM), dtype=np.float32)
+        pos2id = {t: i for i, t in enumerate(POS_TAGS)}
+        cap2id = {t: i for i, t in enumerate(CAP_TAGS)}
+        for bi, (words, pos, cap) in enumerate(zip(batch_words, batch_pos, batch_cap)):
+            n = len(words)
+            wv = hash_word_vectors(words)
+            feat = wv
+            if self.use_pos:
+                pe = self.pos_emb[[pos2id.get(p, len(POS_TAGS)) for p in pos]]
+                feat = feat + _sigmoid(pe @ self.g_pos) * (pe @ self.w_pos)
+            if self.use_cap:
+                ce = self.cap_emb[[cap2id.get(c, len(CAP_TAGS)) for c in cap]]
+                feat = feat + _sigmoid(ce @ self.g_cap) * (ce @ self.w_cap)
+            if self.use_lm:
+                lm = self._lm_features(wv)
+                feat = feat + _sigmoid(lm @ self.g_lm) * (lm @ self.w_lm)
+            x[bi, :n] = feat
+        return x
+
+    def _lm_features(self, wv):
+        h = np.zeros((1, LM_DIM), dtype=np.float32)
+        c = np.zeros((1, LM_DIM), dtype=np.float32)
+        out = np.empty((len(wv), LM_DIM), dtype=np.float32)
+        for t in range(len(wv)):
+            h, c = self.lm_cell.step(wv[t:t + 1], h, c)
+            out[t] = h[0]
+        return out
+
+    # -- forward ------------------------------------------------------------
+    def _forward(self, batch_words, batch_pos, batch_cap):
+        lens = np.array([len(w) for w in batch_words])
+        B, T = len(batch_words), int(lens.max())
+        x = self._inputs(batch_words, batch_pos, batch_cap, T)
+
+        hf = np.zeros((B, HIDDEN), dtype=np.float32)
+        cf = np.zeros((B, HIDDEN), dtype=np.float32)
+        hb = np.zeros((B, HIDDEN), dtype=np.float32)
+        cb = np.zeros((B, HIDDEN), dtype=np.float32)
+        enc_f = np.empty((B, T, HIDDEN), dtype=np.float32)
+        enc_b = np.empty((B, T, HIDDEN), dtype=np.float32)
+        for t in range(T):
+            hf, cf = self.enc_f.step(x[:, t], hf, cf)
+            enc_f[:, t] = hf
+            hb, cb = self.enc_b.step(x[:, T - 1 - t], hb, cb)
+            enc_b[:, T - 1 - t] = hb
+        enc = np.concatenate([enc_f, enc_b], axis=2)
+
+        hd = np.zeros((B, HIDDEN), dtype=np.float32)
+        cd = np.zeros((B, HIDDEN), dtype=np.float32)
+        prev = np.zeros((B, 2 * N_TAGS), dtype=np.float32)  # tag-context state T
+        fact_logp = np.empty((B, T, N_TAGS), dtype=np.float32)
+        cond_logp = np.empty((B, T, N_TAGS), dtype=np.float32)
+        for t in range(T):
+            hd, cd = self.dec.step(
+                np.concatenate([enc[:, t], prev], axis=1), hd, cd)
+            lf = hd @ self.head_fact
+            fact_p = _log_softmax(lf)
+            if self.enhance:
+                lc = np.concatenate([hd, np.exp(fact_p)], axis=1) @ self.head_cond
+            else:
+                lc = hd @ self.head_cond
+            cond_p = _log_softmax(lc)
+            fact_logp[:, t] = fact_p
+            cond_logp[:, t] = cond_p
+            prev = np.concatenate([np.exp(fact_p), np.exp(cond_p)], axis=1)
+        return fact_logp, cond_logp, lens
+
+    def predict_distrib(self, batch_words, batch_pos, batch_cap):
+        return self._forward(batch_words, batch_pos, batch_cap)
+
+    def predict_tags(self, batch_words, batch_pos, batch_cap):
+        """-> list of (fact_tags, cond_tags) per statement. Processes in
+        length-sorted micro-batches (reference O1 + O2)."""
+        order = sorted(range(len(batch_words)),
+                       key=lambda i: len(batch_words[i]), reverse=True)
+        results: list = [None] * len(batch_words)
+        for s in range(0, len(order), self.batch_size):
+            idx = order[s:s + self.batch_size]
+            fw = [batch_words[i] for i in idx]
+            fp = [batch_pos[i] for i in idx]
+            fc = [batch_cap[i] for i in idx]
+            fact_logp, cond_logp, lens = self._forward(fw, fp, fc)
+            f_ids = fact_logp.argmax(axis=2)
+            c_ids = cond_logp.argmax(axis=2)
+            for k, i in enumerate(idx):
+                n = lens[k]
+                results[i] = (
+                    [FACT_TAGS[j] for j in f_ids[k, :n]],
+                    [COND_TAGS[j] for j in c_ids[k, :n]])
+        return results
+
+
+class MimoEnsemble:
+    """3 single models (LM / POS / CAP configured) + elementwise combiner
+    (Stmt_Extraction_Net.py:429-480; wiring MIMO_Extractor.py:131-135)."""
+
+    def __init__(self, seed=824, batch_size=50):
+        self.models = [
+            MimoTagger(seed=seed + 1, use_lm=True, use_pos=False, use_cap=False,
+                       batch_size=batch_size),
+            MimoTagger(seed=seed + 2, use_lm=False, use_pos=True, use_cap=False,
+                       batch_size=batch_size),
+            MimoTagger(seed=seed + 3, use_lm=False, use_pos=False, use_cap=True,
+                       batch_size=batch_size),
+        ]
+        rng = np.random.default_rng(seed)
+        self.w = (rng.standard_normal(3).astype(np.float32) * 0.1 + 1.0) / 3.0
+        self.b = np.zeros(N_TAGS, dtype=np.float32)
+        self.batch_size = batch_size
+
+    def predict_tags(self, batch_words, batch_pos, batch_cap):
+        order = sorted(range(len(batch_words)),
+                       key=lambda i: len(batch_words[i]), reverse=True)
+        results: list = [None] * len(batch_words)
+        for s in range(0, len(order), self.batch_size):
+            idx = order[s:s + self.batch_size]
+            fw = [batch_words[i] for i in idx]
+            fp = [batch_pos[i] for i in idx]
+            fc = [batch_cap[i] for i in idx]
+            fact = cond = None
+            lens = None
+            for w, m in zip(self.w, self.models):
+                f, c, lens = m.predict_distrib(fw, fp, fc)
+                fact = w * np.exp(f) if fact is None else fact + w * np.exp(f)
+                cond = w * np.exp(c) if cond is None else cond + w * np.exp(c)
+            fact = _log_softmax(np.log(np.maximum(fact + self.b, 1e-9)))
+            cond = _log_softmax(np.log(np.maximum(cond + self.b, 1e-9)))
+            f_ids = fact.argmax(axis=2)
+            c_ids = cond.argmax(axis=2)
+            for k, i in enumerate(idx):
+                n = lens[k]
+                results[i] = (
+                    [FACT_TAGS[j] for j in f_ids[k, :n]],
+                    [COND_TAGS[j] for j in c_ids[k, :n]])
+        return results

@@ -74,6 +74,26 @@ def tag_statements(
                 yield pdf
 
         tagged = statements.mapInPandas(gen, schema=TAGGED_SCHEMA)
+    elif mode in ("neural", "ensemble"):
+        def gen(batches):
+            # built once per Python worker; in production the weight dict is
+            # an sc.broadcast and this constructor loads from it
+            from scikg_spark.core.neural import MimoEnsemble, MimoTagger
+
+            model = MimoEnsemble() if mode == "ensemble" else MimoTagger()
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                preds = model.predict_tags(
+                    [list(w) for w in pdf["words"]],
+                    [list(p) for p in pdf["postags"]],
+                    [list(c) for c in pdf["caps"]])
+                pdf = pdf.assign(
+                    fact_tags=[p[0] for p in preds],
+                    cond_tags=[p[1] for p in preds])
+                yield pdf
+
+        tagged = statements.mapInPandas(gen, schema=TAGGED_SCHEMA)
     else:
         raise ValueError(f"unknown tagger mode {mode!r}")
 

@@ -1,0 +1,80 @@
+"""Neural tagger (M1-M5 numpy forward) tests: shape, determinism, batching
+invariance, and Spark integration."""
+
+import numpy as np
+import pytest
+
+from scikg_spark.core.neural import MimoEnsemble, MimoTagger, hash_word_vectors
+from scikg_spark.core.tags import COND_TAGS, FACT_TAGS
+
+
+def _mk(n, seed=0):
+    rng = np.random.default_rng(seed)
+    words = [f"w{rng.integers(100)}" for _ in range(n)]
+    pos = [["NN", "VBZ", "JJ", "IN"][rng.integers(4)] for _ in range(n)]
+    cap = [["O", "B-C", "B-P", "B-A"][rng.integers(4)] for _ in range(n)]
+    return words, pos, cap
+
+
+class TestTagger:
+    def test_shapes_and_vocab(self):
+        m = MimoTagger(seed=1)
+        stmts = [_mk(5, 1), _mk(12, 2), _mk(3, 3)]
+        out = m.predict_tags(*zip(*stmts))
+        assert len(out) == 3
+        for (words, _, _), (ft, ct) in zip(stmts, out):
+            assert len(ft) == len(ct) == len(words)
+            assert all(t in FACT_TAGS for t in ft)
+            assert all(t in COND_TAGS for t in ct)
+
+    def test_deterministic(self):
+        stmts = [_mk(8, 7), _mk(15, 8)]
+        a = MimoTagger(seed=5).predict_tags(*zip(*stmts))
+        b = MimoTagger(seed=5).predict_tags(*zip(*stmts))
+        assert a == b
+
+    def test_batching_invariance(self):
+        # micro-batch boundaries and length sorting must not change results
+        stmts = [_mk(4 + i, 100 + i) for i in range(7)]
+        big = MimoTagger(seed=3, batch_size=50).predict_tags(*zip(*stmts))
+        small = MimoTagger(seed=3, batch_size=2).predict_tags(*zip(*stmts))
+        assert big == small
+
+    def test_lm_config_changes_output_shape_only(self):
+        stmts = [_mk(6, 42)]
+        with_lm = MimoTagger(seed=4, use_lm=True).predict_tags(*zip(*stmts))
+        without = MimoTagger(seed=4, use_lm=False).predict_tags(*zip(*stmts))
+        assert len(with_lm[0][0]) == len(without[0][0]) == 6
+
+    def test_hash_vectors_stable(self):
+        a = hash_word_vectors(["cats", "CATS", "dogs"])
+        assert np.allclose(a[0], a[1])  # case-insensitive
+        assert not np.allclose(a[0], a[2])
+
+
+class TestEnsemble:
+    def test_ensemble_runs_and_is_deterministic(self):
+        stmts = [_mk(9, 11), _mk(5, 12)]
+        a = MimoEnsemble(seed=9).predict_tags(*zip(*stmts))
+        b = MimoEnsemble(seed=9).predict_tags(*zip(*stmts))
+        assert a == b
+        for (words, _, _), (ft, ct) in zip(stmts, a):
+            assert len(ft) == len(words) and len(ct) == len(words)
+
+
+@pytest.mark.usefixtures("spark")
+class TestSparkIntegration:
+    def test_neural_mode_through_pipeline(self, spark):
+        from scikg_spark.pipeline.stage1 import (
+            build_pages_from_documents, extract_statements)
+        from scikg_spark.pipeline.stage2 import decode_tuples, tag_statements
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(30)
+        stmts = extract_statements(build_pages_from_documents(docs)).cache()
+        tagged = tag_statements(stmts, mode="neural")
+        assert tagged.count() == stmts.count()
+        # decode never crashes on model output; rerun is identical
+        t1 = decode_tuples(tagged).collect()
+        t2 = decode_tuples(tag_statements(stmts, mode="neural")).collect()
+        key = lambda r: (r.url, r.stmt_id, r.kind, r.tuple_idx, r.subj)
+        assert sorted(map(key, t1)) == sorted(map(key, t2))
