@@ -59,6 +59,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_user_first_event": relational.q_user_first_event,
         "q_event_type_overlap": relational.q_event_type_overlap,
         "q_nation_order_priority": relational.q_nation_order_priority,
+        "q_orders_by_month": relational.q_orders_by_month,
+        "q_events_sessionize": relational.q_events_sessionize,
+        "q_part_type_stats": relational.q_part_type_stats,
+        "q_supplier_balance_rank": relational.q_supplier_balance_rank,
         # text analysis
         "q_token_counts": text.q_token_counts,
         "q_quality": text.q_quality,

@@ -144,3 +144,99 @@ ORACLE = {
         GROUP BY n_name, o_orderpriority
     """,
 }
+
+
+def q_orders_by_month(spark, sf_dir):
+    """Date-function coverage: monthly order roll-up."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        orders.groupBy(
+            F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+            "o_orderstatus")
+        .agg(F.count("*").alias("n_orders"),
+             F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+
+
+def q_events_sessionize(spark, sf_dir, gap_sec: int = 1800):
+    """lag-window sessionization: sessions = 1 + count(gaps > 30min)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    gaps = ev.withColumn("prev_ts", F.lag("ts").over(w)).withColumn(
+        "new_session",
+        F.when(
+            F.col("prev_ts").isNull() |
+            ((F.unix_timestamp("ts") - F.unix_timestamp("prev_ts")) > gap_sec),
+            1).otherwise(0))
+    return (
+        gaps.groupBy("user_id")
+        .agg(F.sum("new_session").cast("long").alias("n_sessions"),
+             F.count("*").alias("n_events"))
+    )
+
+
+def q_part_type_stats(spark, sf_dir):
+    """Fact-to-dim join WITHOUT a broadcast hint: AQE picks the strategy."""
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_type")
+        .agg(F.count("*").alias("n_items"),
+             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"))
+    )
+
+
+def q_supplier_balance_rank(spark, sf_dir):
+    """rank() window: top-3 suppliers by balance per nation."""
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    w = Window.partitionBy("n_name").orderBy(F.desc("s_acctbal"), F.asc("s_suppkey"))
+    return (
+        sup.join(F.broadcast(nation), sup["s_nationkey"] == nation["n_nationkey"])
+        .withColumn("rnk", F.rank().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select("n_name", "s_suppkey", "s_name",
+                F.round("s_acctbal", 2).alias("balance"), "rnk")
+    )
+
+
+ORACLE.update({
+    "q_orders_by_month": """
+        SELECT strftime(o_orderdate, '%Y-%m') AS month, o_orderstatus,
+               count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+        FROM orders GROUP BY 1, 2
+    """,
+    "q_events_sessionize": """
+        SELECT user_id,
+               CAST(sum(new_session) AS BIGINT) AS n_sessions,
+               count(*) AS n_events
+        FROM (
+            SELECT user_id,
+                   CASE WHEN prev_ts IS NULL
+                             OR date_diff('second', prev_ts, ts) > 1800
+                        THEN 1 ELSE 0 END AS new_session
+            FROM (SELECT user_id, ts,
+                         lag(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts ASC, event_id ASC) AS prev_ts
+                  FROM events))
+        GROUP BY user_id
+    """,
+    "q_part_type_stats": """
+        SELECT p_type, count(*) AS n_items,
+               round(avg(l_quantity), 4) AS avg_qty,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_type
+    """,
+    "q_supplier_balance_rank": """
+        SELECT n_name, s_suppkey, s_name, round(s_acctbal, 2) AS balance, rnk
+        FROM (SELECT n_name, s_suppkey, s_name, s_acctbal,
+                     CAST(rank() OVER (PARTITION BY n_name
+                                  ORDER BY s_acctbal DESC, s_suppkey ASC) AS BIGINT) AS rnk
+              FROM supplier JOIN nation ON s_nationkey = n_nationkey)
+        WHERE rnk <= 3
+    """,
+})
