@@ -189,9 +189,16 @@ class MimoTagger:
     def predict_distrib(self, batch_words, batch_pos, batch_cap):
         return self._forward(batch_words, batch_pos, batch_cap)
 
-    def predict_tags(self, batch_words, batch_pos, batch_cap):
+    def predict_tags(self, batch_words, batch_pos, batch_cap,
+                     threshold_fact=None, threshold_cond=None):
         """-> list of (fact_tags, cond_tags) per statement. Processes in
-        length-sorted micro-batches (reference O1 + O2)."""
+        length-sorted micro-batches (reference O1 + O2). Optional confidence
+        thresholds (P7, utils.py:2336-2340): a token's tag collapses to 'O'
+        when its max log-probability is below log(threshold)."""
+        import math
+
+        log_tf = math.log(threshold_fact) if threshold_fact else None
+        log_tc = math.log(threshold_cond) if threshold_cond else None
         order = sorted(range(len(batch_words)),
                        key=lambda i: len(batch_words[i]), reverse=True)
         results: list = [None] * len(batch_words)
@@ -203,11 +210,17 @@ class MimoTagger:
             fact_logp, cond_logp, lens = self._forward(fw, fp, fc)
             f_ids = fact_logp.argmax(axis=2)
             c_ids = cond_logp.argmax(axis=2)
+            f_max = fact_logp.max(axis=2)
+            c_max = cond_logp.max(axis=2)
             for k, i in enumerate(idx):
                 n = lens[k]
-                results[i] = (
-                    [FACT_TAGS[j] for j in f_ids[k, :n]],
-                    [COND_TAGS[j] for j in c_ids[k, :n]])
+                ft = [FACT_TAGS[j] if log_tf is None or f_max[k, t] >= log_tf
+                      else "O"
+                      for t, j in enumerate(f_ids[k, :n])]
+                ct = [COND_TAGS[j] if log_tc is None or c_max[k, t] >= log_tc
+                      else "O"
+                      for t, j in enumerate(c_ids[k, :n])]
+                results[i] = (ft, ct)
         return results
 
 

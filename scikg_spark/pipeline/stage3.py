@@ -169,18 +169,39 @@ def connected_components(edges: DataFrame, vertices: DataFrame,
     return comp.localCheckpoint()
 
 
+def synonym_phrase_edges(phrases: DataFrame, synonyms: DataFrame) -> DataFrame:
+    """Synonym pairs (the reference's ``n: [C1, as, C2]`` label tuples,
+    utils.py:638-644) as entity-linking edges: join both phrase columns onto
+    the mention table by normalized string."""
+    a = synonyms.select(
+        F.lower(F.regexp_replace("phrase_a", "_", " ")).alias("na"),
+        F.lower(F.regexp_replace("phrase_b", "_", " ")).alias("nb"))
+    pa = phrases.select(F.col("norm").alias("na"), F.col("phrase_id").alias("src"))
+    pb = phrases.select(F.col("norm").alias("nb"), F.col("phrase_id").alias("dst"))
+    return (
+        a.join(pa, "na").join(pb, "nb")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+
+
 def link_entities(tuples: DataFrame, lsh_threshold: float = 0.8,
-                  use_lsh: bool = True) -> tuple[DataFrame, DataFrame]:
+                  use_lsh: bool = True,
+                  synonyms: DataFrame | None = None) -> tuple[DataFrame, DataFrame]:
     """tuples -> (entity_nodes, phrase_map).
 
     entity_nodes: entity_id, canonical (deterministic min norm in the
-    component), n_phrases. phrase_map: phrase -> entity_id.
+    component), n_phrases. phrase_map: phrase -> entity_id. ``synonyms``
+    optionally contributes curated pair edges (phrase_a, phrase_b).
     """
     phrases = mention_phrases(tuples).cache()
     edges = exact_edges(phrases)
     if use_lsh:
         cand = lsh_candidate_pairs(phrases)
         edges = edges.union(verify_jaccard(cand, phrases, threshold=lsh_threshold))
+    if synonyms is not None:
+        edges = edges.union(synonym_phrase_edges(phrases, synonyms))
     comp = connected_components(
         edges, phrases.select(F.col("phrase_id").alias("id")))
     mapped = phrases.join(comp, phrases["phrase_id"] == comp["id"]).select(

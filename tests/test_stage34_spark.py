@@ -124,3 +124,30 @@ class TestResume:
         a = sorted(map(str, cat2.read("edges").collect()))
         b = sorted(map(str, clean.read("edges").collect()))
         assert a == b
+
+
+class TestSynonymEdges:
+    def test_synonyms_merge_components(self, spark):
+        from scikg_spark.pipeline.stage2 import TUPLES_SCHEMA
+
+        def span(text, start):
+            return {"text": text, "start": start, "end": start + 1}
+
+        rows = [
+            ("u1", "d1", 1, "f", 1, "tumor#0", "causes#1", "pain#2",
+             span("tumor", 0), None, span("causes", 1), span("pain", 2), None),
+            ("u1", "d1", 2, "f", 1, "neoplasm#0", "causes#1", "ache#2",
+             span("neoplasm", 0), None, span("causes", 1), span("ache", 2), None),
+        ]
+        tuples = spark.createDataFrame(rows, schema=TUPLES_SCHEMA)
+        syn = spark.createDataFrame(
+            [("tumor", "neoplasm")], "phrase_a string, phrase_b string")
+
+        from scikg_spark.pipeline.stage3 import link_entities
+
+        without, _ = link_entities(tuples, use_lsh=False)
+        with_syn, pmap = link_entities(tuples, use_lsh=False, synonyms=syn)
+        assert with_syn.count() == without.count() - 1  # two phrases merged
+        ids = {r.phrase: r.entity_id for r in pmap.collect()}
+        assert ids["tumor"] == ids["neoplasm"]
+        assert ids["pain"] != ids["ache"]
