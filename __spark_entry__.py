@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples": kg.kg_triples,
         "kg_top_facts": kg.kg_top_facts,
         "kg_entity_nodes": kg.kg_entity_nodes,
+        "kg_entity_edges": kg.kg_entity_edges,
         "kg_statement_stats": kg.kg_statement_stats,
     }
     return {name: wrap(fn) for name, fn in qs.items()}

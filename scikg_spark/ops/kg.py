@@ -51,6 +51,23 @@ def kg_entity_nodes(spark, sf_dir):
     return nodes.orderBy("entity_id")
 
 
+def kg_entity_edges(spark, sf_dir):
+    """Graph-shaped output: tuples with subject/object entity ids attached
+    (the stage-4 edges table as a query)."""
+    t = _tuples(spark, sf_dir).cache()
+    _, phrase_map = link_entities(t)
+    src = phrase_map.select(
+        F.col("phrase").alias("_sp"), F.col("entity_id").alias("subj_entity"))
+    dst = phrase_map.select(
+        F.col("phrase").alias("_op"), F.col("entity_id").alias("obj_entity"))
+    return (
+        t.join(src, t["s_c.text"] == F.col("_sp"), "left")
+        .join(dst, t["o_c.text"] == F.col("_op"), "left")
+        .select("doc_id", "stmt_id", "kind", "subj", "pred", "obj",
+                "subj_entity", "obj_entity")
+    )
+
+
 def kg_statement_stats(spark, sf_dir):
     """Per-document extraction statistics (correction-chain observability)."""
     t = _tuples(spark, sf_dir)

@@ -90,7 +90,11 @@ def run_pipeline(
             tuples.join(src_map, tuples["s_c.text"] == F.col("_sp"), "left")
             .join(dst_map, tuples["o_c.text"] == F.col("_op"), "left")
             .drop("_sp", "_op")
+            # Iceberg's bucket(url) partition transform, expressed directly:
+            # co-locates a url's edges and bounds files-per-partition at scale
+            .withColumn("url_bucket",
+                        F.pmod(F.xxhash64("url"), F.lit(16)).cast("int"))
         )
 
-    stage("edges", build_edges, partition_by=("kind",))
+    stage("edges", build_edges, partition_by=("kind", "url_bucket"))
     return out
