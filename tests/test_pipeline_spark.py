@@ -100,3 +100,19 @@ class TestRulePath:
         base = tag_statements(stmts, mode="rule").count()
         sh = tag_statements(stmts, mode="rule", use_sh=True).count()
         assert 0 < sh <= base  # SH drops statements longer than 15 tokens
+
+
+class TestTrainCorpusGate:
+    def test_train_triples_match_reference_decode(self, spark, train_blocks):
+        pages, gold, oracle = gold_frames_from_blocks(spark, train_blocks)
+        stmts = extract_statements(pages)
+        rows = decode_tuples(tag_statements(stmts, mode="gold", gold=gold)).collect()
+        got = Counter(
+            (r.doc_id, r.stmt_id, r.kind, r.subj, r.pred, r.obj) for r in rows)
+        want = Counter()
+        for (doc_id, stmt_id), (words, fact, cond) in oracle.items():
+            for kind, tags in (("f", fact), ("c", cond)):
+                for rec in post_decode(words, tags):
+                    s, p, o = serialize_tuple(rec)
+                    want[(doc_id, stmt_id, kind, s, p, o)] += 1
+        assert got == want
