@@ -267,3 +267,111 @@ class MimoEnsemble:
                     [FACT_TAGS[j] for j in f_ids[k, :n]],
                     [COND_TAGS[j] for j in c_ids[k, :n]])
         return results
+
+
+class HeadTrainer:
+    """M6-lite: the reference's weighted-NLL training step (class weights
+    1000/freq, SGD lr=0.01 wd=5e-4 momentum=0.9, grad-clip 5 — utils.py:2888-2955,
+    train.py:143-157) applied to the output heads as a linear probe over the
+    frozen encoder. Full-BPTT training stays offline by design (SURVEY §2.8);
+    this gives the in-repo neural path a working learning step and makes
+    'neural' mode improvable from pseudo-labels without torch.
+    """
+
+    def __init__(self, model: MimoTagger, lr=0.01, weight_decay=5e-4,
+                 momentum=0.9, clip=5.0):
+        self.model = model
+        self.lr, self.wd, self.mom, self.clip = lr, weight_decay, momentum, clip
+        self.vel_f = np.zeros_like(model.head_fact)
+        self.vel_c = np.zeros_like(model.head_cond)
+
+    @staticmethod
+    def class_weights(tag_counts, n_tags=N_TAGS):
+        """w[tag] = 1000 / freq (train.py:143-157); unseen tags get weight 0."""
+        w = np.zeros(n_tags, dtype=np.float32)
+        for tag_id, count in tag_counts.items():
+            if count > 0:
+                w[tag_id] = 1000.0 / count
+        return w
+
+    def _encode(self, words, pos, cap):
+        """Frozen encoder + decoder hidden states for one micro-batch."""
+        m = self.model
+        lens = np.array([len(w) for w in words])
+        B, T = len(words), int(lens.max())
+        x = m._inputs(words, pos, cap, T)
+        hf = np.zeros((B, HIDDEN), dtype=np.float32)
+        cf = np.zeros((B, HIDDEN), dtype=np.float32)
+        hb = np.zeros((B, HIDDEN), dtype=np.float32)
+        cb = np.zeros((B, HIDDEN), dtype=np.float32)
+        ef = np.empty((B, T, HIDDEN), dtype=np.float32)
+        eb = np.empty((B, T, HIDDEN), dtype=np.float32)
+        for t in range(T):
+            hf, cf = m.enc_f.step(x[:, t], hf, cf)
+            ef[:, t] = hf
+            hb, cb = m.enc_b.step(x[:, T - 1 - t], hb, cb)
+            eb[:, T - 1 - t] = hb
+        enc = np.concatenate([ef, eb], axis=2)
+        hd = np.zeros((B, HIDDEN), dtype=np.float32)
+        cd = np.zeros((B, HIDDEN), dtype=np.float32)
+        prev = np.zeros((B, 2 * N_TAGS), dtype=np.float32)
+        hidden = np.empty((B, T, HIDDEN), dtype=np.float32)
+        for t in range(T):
+            hd, cd = m.dec.step(np.concatenate([enc[:, t], prev], axis=1), hd, cd)
+            hidden[:, t] = hd
+            lf = _log_softmax(hd @ m.head_fact)
+            if m.enhance:
+                lc = _log_softmax(
+                    np.concatenate([hd, np.exp(lf)], axis=1) @ m.head_cond)
+            else:
+                lc = _log_softmax(hd @ m.head_cond)
+            prev = np.concatenate([np.exp(lf), np.exp(lc)], axis=1)
+        return hidden, lens
+
+    def step(self, words, pos, cap, fact_ids, cond_ids,
+             w_fact=None, w_cond=None):
+        """One weighted-NLL SGD step on both heads. Tag ids are per-token
+        lists aligned with words. Returns (fact_loss, cond_loss)."""
+        m = self.model
+        hidden, lens = self._encode(words, pos, cap)
+        # flatten valid tokens
+        feats, yf, yc = [], [], []
+        for b, n in enumerate(lens):
+            feats.append(hidden[b, :n])
+            yf.extend(fact_ids[b])
+            yc.extend(cond_ids[b])
+        H = np.concatenate(feats, axis=0)
+        yf = np.asarray(yf)
+        yc = np.asarray(yc)
+        if w_fact is None:
+            w_fact = np.ones(N_TAGS, dtype=np.float32)
+        if w_cond is None:
+            w_cond = np.ones(N_TAGS, dtype=np.float32)
+
+        def head_grad(W, extra, y, wts):
+            X = H if extra is None else np.concatenate([H, extra], axis=1)
+            logp = _log_softmax(X @ W)
+            p = np.exp(logp)
+            n = len(y)
+            sample_w = wts[y]
+            loss = -(sample_w * logp[np.arange(n), y]).sum() / max(sample_w.sum(), 1e-9)
+            d = p.copy()
+            d[np.arange(n), y] -= 1.0
+            d *= (sample_w / max(sample_w.sum(), 1e-9))[:, None]
+            g = X.T @ d + self.wd * W
+            gn = np.linalg.norm(g)
+            if gn > self.clip:
+                g = g * (self.clip / gn)
+            return loss, g
+
+        loss_f, g_f = head_grad(m.head_fact, None, yf, w_fact)
+        extra = None
+        if m.enhance:
+            extra = np.exp(_log_softmax(H @ m.head_fact))
+        loss_c, g_c = head_grad(m.head_cond, extra, yc, w_cond)
+
+        self.vel_f = self.mom * self.vel_f - self.lr * g_f
+        self.vel_c = self.mom * self.vel_c - self.lr * g_c
+        m.head_fact = m.head_fact + self.vel_f
+        m.head_cond = m.head_cond + self.vel_c
+        return float(loss_f), float(loss_c)
