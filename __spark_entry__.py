@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_sessionize": relational.q_events_sessionize,
         "q_part_type_stats": relational.q_part_type_stats,
         "q_supplier_balance_rank": relational.q_supplier_balance_rank,
+        "q_asof_event_order": relational.q_asof_event_order,
         # text analysis
         "q_token_counts": text.q_token_counts,
         "q_quality": text.q_quality,
@@ -74,6 +75,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_minhash_dup_pairs": dedup.q_minhash_dup_pairs,
         "q_ngram_jaccard_pairs": dedup.q_ngram_jaccard_pairs,
         "q_simhash_buckets": dedup.q_simhash_buckets,
+        "q_dedup_keep_policy": dedup.q_dedup_keep_policy,
         # similarity search
         "q_embedding_norms": similarity.q_embedding_norms,
         "q_cosine_topk": similarity.q_cosine_topk,

@@ -190,3 +190,22 @@ ORACLE = {
         WHERE round(n_common * 1.0 / (sa.n_grams + sb.n_grams - n_common), 4) >= 0.5
     """,
 }
+
+
+def q_dedup_keep_policy(spark, sf_dir):
+    """Near-duplicate REMOVAL: cluster MinHash candidate pairs with connected
+    components and keep min(doc_id) per cluster — the actual training-data
+    dedup action (rows-only: CC is iterative, not SQL). Returns the kept doc
+    set with cluster sizes."""
+    from pyspark.sql import functions as F
+
+    from scikg_spark.pipeline.stage3 import connected_components
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    pairs = q_minhash_dup_pairs(spark, sf_dir)
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    comp = connected_components(edges, docs.select(F.col("doc_id").alias("id")))
+    return (
+        comp.groupBy(F.col("comp").alias("keep_doc_id"))
+        .agg(F.count("*").alias("cluster_size"))
+    )

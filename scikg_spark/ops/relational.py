@@ -240,3 +240,52 @@ ORACLE.update({
         WHERE rnk <= 3
     """,
 })
+
+
+def q_asof_event_order(spark, sf_dir):
+    """AS-OF join — a custom operator Spark lacks natively, expressed as the
+    union+window composition: for each event, the user's most recent order
+    with o_orderdate <= ts. Oracle uses DuckDB's native ASOF JOIN, so the
+    duel checks the full as-of semantics."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "ts", "event_id")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("ts"),
+        "o_orderkey", "o_totalprice")
+    left = ev.select(
+        "user_id", "ts", "event_id",
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+        F.lit(1).alias("is_left"))
+    right = orders.select(
+        "user_id", "ts",
+        F.lit(None).cast("long").alias("event_id"),
+        "o_orderkey", "o_totalprice",
+        F.lit(0).alias("is_left"))
+    # at equal ts the right row sorts first, so '<=' semantics hold
+    w = (Window.partitionBy("user_id")
+         .orderBy(F.asc("ts"), F.asc("is_left"), F.asc("o_orderkey"))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    merged = left.unionByName(right).withColumn(
+        "asof_orderkey",
+        F.last(F.when(F.col("is_left") == 0, F.col("o_orderkey")),
+               ignorenulls=True).over(w)).withColumn(
+        "asof_totalprice",
+        F.last(F.when(F.col("is_left") == 0, F.col("o_totalprice")),
+               ignorenulls=True).over(w))
+    return (
+        merged.filter(F.col("is_left") == 1)
+        .select("event_id", "user_id", "asof_orderkey",
+                F.round("asof_totalprice", 2).alias("asof_totalprice"))
+    )
+
+
+ORACLE["q_asof_event_order"] = """
+    SELECT e.event_id, e.user_id,
+           o.o_orderkey AS asof_orderkey,
+           round(o.o_totalprice, 2) AS asof_totalprice
+    FROM events e
+    ASOF LEFT JOIN orders o
+      ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+"""
