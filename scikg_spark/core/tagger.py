@@ -46,40 +46,19 @@ def _emit(tags, prefix, role, span):
         tags[k] = f"I-{prefix}{role}"
 
 
-def _pick_structure(c_spans, a_spans, pred):
-    """Given a predicate span, choose subject (last C ending before it within
-    30), object (first C starting after it within 30) and their attributes
-    (A-span ending within 3 before the owner's start)."""
-    subject = None
-    for span in c_spans:
-        if span[2] <= pred[1] and pred[1] - span[2] < 30:
-            subject = span
-    obj = None
-    for span in c_spans:
-        if span[1] >= pred[2] and span[1] - pred[2] < 30:
-            obj = span
-            break
-
-    def attr_for(owner):
-        if owner is None:
-            return None
-        best = None
-        for span in a_spans:
-            if span[2] <= owner[1] and owner[1] - span[2] < 3:
-                best = span
-        return best
-
-    return subject, attr_for(subject), obj, attr_for(obj)
-
-
 def rule_tag(words, postags, caps):
     """Deterministic mention-role tagger -> (fact_tags, cond_tags).
 
-    Fact head anchors on the first P-span containing a VB* POS; condition
-    head anchors on the first remaining P-span containing IN/TO (index-
-    disjoint from the fact predicate, honoring the overlap discard,
-    utils.py:2316-2325). Only spans chosen for a head are tagged; everything
-    else stays 'O', so the output is always decodable BIO.
+    Fact head: every P-span containing a VB* POS becomes a fact predicate
+    (f2P); condition head: every remaining P-span containing IN/TO becomes a
+    condition predicate (c2P) — index-disjoint heads by construction,
+    honoring the fact/condition predicate-overlap discard
+    (utils.py:2316-2325). Within each head, C-spans take role 1C before the
+    head's first predicate and 3C after it; an A-span attaches as 1A/3A when
+    it ends within 3 tokens of a same-side C-span's start (the decoder's
+    attachment cap). Unassigned spans stay 'O'; the output is always
+    decodable BIO, and multi-predicate statements yield multiple tuples via
+    the decoder's nearest/blocking association — the MIMO output shape.
     """
     n = len(words)
     spans = cap_spans(caps)
@@ -90,47 +69,38 @@ def rule_tag(words, postags, caps):
     def pos_in(span, prefixes):
         return any(postags[k].startswith(prefixes) for k in range(span[1], span[2]))
 
-    fact_pred = None
-    for span in p_spans:
-        if pos_in(span, ("VB",)):
-            fact_pred = span
-            break
-    if fact_pred is None and p_spans:
-        fact_pred = p_spans[0]
+    fact_preds = [s for s in p_spans if pos_in(s, ("VB",))]
+    if not fact_preds and p_spans:
+        fact_preds = [p_spans[0]]
+    taken = set(id(s) for s in fact_preds)
+    cond_preds = [s for s in p_spans
+                  if id(s) not in taken and pos_in(s, ("IN", "TO"))]
 
-    cond_pred = None
-    for span in p_spans:
-        if span is fact_pred:
-            continue
-        if pos_in(span, ("IN", "TO")):
-            cond_pred = span
-            break
+    def emit_head(tags, prefix, preds):
+        if not preds:
+            return
+        first = preds[0][1]
+        for p in preds:
+            _emit(tags, prefix, "2P", p)
+        subjects = [c for c in c_spans if c[2] <= first]
+        objects = [c for c in c_spans if c[1] > first]
+        for c in subjects:
+            _emit(tags, prefix, "1C", c)
+        for c in objects:
+            _emit(tags, prefix, "3C", c)
+
+        def attach(attr_role, owners):
+            for a in a_spans:
+                for c in owners:
+                    if a[2] <= c[1] and c[1] - a[2] < 3:
+                        _emit(tags, prefix, attr_role, a)
+                        break
+
+        attach("1A", subjects)
+        attach("3A", objects)
 
     fact_tags = ["O"] * n
     cond_tags = ["O"] * n
-
-    if fact_pred is not None:
-        subject, s_attr, obj, o_attr = _pick_structure(c_spans, a_spans, fact_pred)
-        _emit(fact_tags, "f", "2P", fact_pred)
-        if subject:
-            _emit(fact_tags, "f", "1C", subject)
-        if s_attr:
-            _emit(fact_tags, "f", "1A", s_attr)
-        if obj:
-            _emit(fact_tags, "f", "3C", obj)
-        if o_attr:
-            _emit(fact_tags, "f", "3A", o_attr)
-
-    if cond_pred is not None:
-        subject, s_attr, obj, o_attr = _pick_structure(c_spans, a_spans, cond_pred)
-        _emit(cond_tags, "c", "2P", cond_pred)
-        if subject:
-            _emit(cond_tags, "c", "1C", subject)
-        if s_attr:
-            _emit(cond_tags, "c", "1A", s_attr)
-        if obj:
-            _emit(cond_tags, "c", "3C", obj)
-        if o_attr:
-            _emit(cond_tags, "c", "3A", o_attr)
-
+    emit_head(fact_tags, "f", fact_preds)
+    emit_head(cond_tags, "c", cond_preds)
     return fact_tags, cond_tags

@@ -22,6 +22,10 @@ def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--corpus", default="eval", choices=["eval", "train", "both"])
     parser.add_argument("--cores", type=int, default=8)
+    parser.add_argument("--replicate", type=int, default=1,
+                        help="replicate the gold corpus N times under fresh "
+                             "doc ids (scale evidence: the gate holds on a "
+                             "corpus N times larger)")
     args = parser.parse_args(argv)
 
     from scikg_spark.core.decoder import post_decode
@@ -38,6 +42,12 @@ def main(argv=None):
     for n in names:
         with open(REFERENCE_TSVS[n]) as f:
             blocks.extend(parse_stmt_blocks(f))
+    if args.replicate > 1:
+        base = list(blocks)
+        blocks = []
+        for i in range(args.replicate):
+            for b in base:
+                blocks.append({**b, "doc_id": f"{b['doc_id']}r{i}"})
 
     spark = get_spark(app_name="scikg-gate", cores=args.cores)
     try:

@@ -114,3 +114,69 @@ class SnapshotCatalog:
         path = os.path.join(self.base_dir, "_metrics.jsonl")
         with open(path, "a") as f:
             f.write(json.dumps({"stage": stage, **payload}) + "\n")
+
+
+class PartitionedIncrementalWriter:
+    """Partition-level resume on top of SnapshotCatalog's directory layout:
+    rows land under ``<table>/parts/<key>=<value>/`` one partition-value at a
+    time, a sidecar manifest records completed values, and a rerun
+    anti-joins completed partitions out of the input before computing
+    anything for them (SURVEY.md §4 item 3). This is the finer-grained
+    complement to stage-level snapshot resume: a killed backfill restarts at
+    the first incomplete partition value."""
+
+    def __init__(self, spark: SparkSession, base_dir: str, table: str,
+                 partition_col: str):
+        self.spark = spark
+        self.table_dir = os.path.join(base_dir, table)
+        self.data_dir = os.path.join(self.table_dir, "parts")
+        self.partition_col = partition_col
+        self.manifest_path = os.path.join(self.table_dir, "parts_manifest.json")
+        os.makedirs(self.data_dir, exist_ok=True)
+
+    def completed(self) -> list:
+        if not os.path.exists(self.manifest_path):
+            return []
+        with open(self.manifest_path) as f:
+            return json.load(f)["completed"]
+
+    def _commit(self, values: list):
+        tmp = self.manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"partition_col": self.partition_col,
+                       "completed": sorted(values, key=str)}, f)
+        os.replace(tmp, self.manifest_path)
+
+    def pending_input(self, df: DataFrame) -> DataFrame:
+        """Anti-join completed partition values out of the input."""
+        done = self.completed()
+        if not done:
+            return df
+        done_df = self.spark.createDataFrame(
+            [(v,) for v in done], f"{self.partition_col} {dict(df.dtypes)[self.partition_col]}")
+        return df.join(F.broadcast(done_df), self.partition_col, "left_anti")
+
+    def write(self, df: DataFrame, max_new: int | None = None) -> dict:
+        """Write the not-yet-completed partitions of ``df``, one partition
+        value per atomic commit. ``max_new`` limits how many partition values
+        are processed (used by the kill-mid-backfill test). Returns counts."""
+        pending = self.pending_input(df)
+        values = [r[0] for r in
+                  pending.select(self.partition_col).distinct().collect()]
+        values.sort(key=str)
+        if max_new is not None:
+            values = values[:max_new]
+        done = list(self.completed())
+        written = 0
+        for v in values:
+            part_df = df.filter(F.col(self.partition_col) == v)
+            out = os.path.join(self.data_dir, f"{self.partition_col}={v}")
+            part_df.drop(self.partition_col).write.mode("overwrite").parquet(out)
+            done.append(v)
+            self._commit(done)  # atomic per-partition commit point
+            written += 1
+        return {"written_partitions": written, "completed_total": len(done)}
+
+    def read(self) -> DataFrame:
+        return self.spark.read.option("basePath", self.data_dir).parquet(
+            os.path.join(self.data_dir, "*"))
