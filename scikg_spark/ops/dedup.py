@@ -5,8 +5,9 @@
                    candidate pairs sharing a band (banding is pure SQL on both
                    engines, so the oracle checks the full scheme)
   * n-gram Jaccard — word-bigram set overlap within (lang, source) blocks
-  * SimHash      — 16-bit md5-token sketch (rows-only; hex->int differs
-                   across engines, see q_simhash docstring)
+  * SimHash      — 16-bit token sketch with engine-neutral bit math
+                   (md5/substring/instr/floor agree on Spark and DuckDB,
+                   so the full sketch is oracle-checked)
 
 Scale notes: all pair generation goes through explode + equi-join on a
 blocking key (band / bucket+bigram) — never a cross join; bucket widths are
@@ -104,21 +105,25 @@ def q_ngram_jaccard_pairs(spark, sf_dir, threshold: float = 0.5):
     )
 
 
-def q_simhash_buckets(spark, sf_dir):
-    """16-bit SimHash from md5 of tokens; returns buckets with >1 doc.
+def _simhash_bit_expr(j: int) -> str:
+    """Bit j (0..15) of an engine-neutral 16-bit token hash: hex digit
+    ``j // 4`` of md5(tok), bit ``j % 4`` — identical SQL on Spark and
+    DuckDB (md5 / substring / instr / floor / %% agree)."""
+    p = j // 4 + 1
+    return (f"cast(floor((instr('0123456789abcdef', "
+            f"substring(md5(tok), {p}, 1)) - 1) / {2 ** (j % 4)}) as int) % 2")
 
-    Rows-only check downstream: Spark's conv(hex) and DuckDB's hex parsing
-    disagree on types, so the oracle is omitted by design."""
+
+def q_simhash_buckets(spark, sf_dir):
+    """16-bit SimHash over distinct tokens; returns buckets with >1 doc.
+    The bit math is engine-neutral SQL, so the full sketch is oracle-checked."""
     docs = _docs(spark, sf_dir).filter(F.col("n_chars") > 0)
     toks = docs.select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok"))
-    hashed = toks.select(
+    bits = toks.select(
         "doc_id",
-        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long").alias("h"))
-    bits = hashed.select(
-        "doc_id",
-        *[(F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1)
-           .otherwise(-1)).alias(f"b{i}") for i in range(16)])
+        *[F.expr(f"2 * ({_simhash_bit_expr(i)}) - 1").alias(f"b{i}")
+          for i in range(16)])
     agg = bits.groupBy("doc_id").agg(
         *[F.sum(f"b{i}").alias(f"s{i}") for i in range(16)])
     simhash = agg.select(
@@ -126,10 +131,10 @@ def q_simhash_buckets(spark, sf_dir):
         sum([
             F.when(F.col(f"s{i}") > 0, F.lit(2 ** i)).otherwise(F.lit(0))
             for i in range(16)
-        ], F.lit(0)).alias("simhash"))
+        ], F.lit(0)).cast("long").alias("simhash"))
     return (
         simhash.groupBy("simhash")
-        .agg(F.count("*").alias("n_docs"), F.sort_array(F.collect_list("doc_id")).alias("doc_ids"))
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc"))
         .filter(F.col("n_docs") > 1)
     )
 
@@ -209,3 +214,29 @@ def q_dedup_keep_policy(spark, sf_dir):
         comp.groupBy(F.col("comp").alias("keep_doc_id"))
         .agg(F.count("*").alias("cluster_size"))
     )
+
+
+ORACLE["q_simhash_buckets"] = f"""
+    WITH toks AS (
+        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents WHERE n_chars > 0
+    ),
+    bits AS (
+        SELECT doc_id,
+               {', '.join(f"2 * ({_simhash_bit_expr(i)}) - 1 AS b{i}"
+                          for i in range(16))}
+        FROM toks
+    ),
+    agg AS (
+        SELECT doc_id, {', '.join(f"sum(b{i}) AS s{i}" for i in range(16))}
+        FROM bits GROUP BY doc_id
+    ),
+    sim AS (
+        SELECT doc_id,
+               CAST({' + '.join(f"CASE WHEN s{i} > 0 THEN {2**i} ELSE 0 END"
+                                for i in range(16))} AS BIGINT) AS simhash
+        FROM agg
+    )
+    SELECT simhash, count(*) AS n_docs, min(doc_id) AS min_doc
+    FROM sim GROUP BY simhash HAVING count(*) > 1
+"""

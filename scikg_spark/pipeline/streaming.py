@@ -73,3 +73,53 @@ def stream_event_counts(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_dedup_documents(
+    spark: SparkSession,
+    docs_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+):
+    """Custom stateful streaming operator (applyInPandasWithState): exact
+    content dedup ACROSS micro-batches. State per content hash = count seen;
+    only the first arrival of a hash is emitted. The streaming face of the
+    batch `q_dedup_exact` operator."""
+    import pandas as pd
+
+    docs = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, n_chars long")
+        .parquet(docs_dir)
+        .withColumn("text_hash", F.md5("text"))
+    )
+
+    def dedup(key, pdf_iter, state):
+        seen = state.get[0] if state.exists else 0
+        out = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values("doc_id")
+            if seen == 0 and len(pdf):
+                out.append(pdf.iloc[[0]][["doc_id", "text_hash", "n_chars"]])
+            seen += len(pdf)
+        state.update((seen,))
+        if out:
+            yield from out
+
+    deduped = (
+        docs.groupBy("text_hash")
+        .applyInPandasWithState(
+            dedup,
+            outputStructType="doc_id long, text_hash string, n_chars long",
+            stateStructType="seen long",
+            outputMode="append",
+            timeoutConf="NoTimeout")
+    )
+    return (
+        deduped.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

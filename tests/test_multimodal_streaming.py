@@ -94,3 +94,27 @@ class TestStreaming:
         truth = {(r.w.start, r.event_type): r.n for r in batch.collect()}
         for r in got.collect():
             assert truth[(r.window_start, r.event_type)] == r.n
+
+
+class TestStatefulStreaming:
+    def test_cross_batch_dedup(self, spark, tmp_path):
+        from scikg_spark.pipeline.streaming import stream_dedup_documents
+
+        docs_dir = str(tmp_path / "docs")
+        rows1 = [(1, "alpha beta", "en", "s", 10), (2, "gamma", "en", "s", 5)]
+        rows2 = [(3, "alpha beta", "en", "s", 10), (4, "delta", "en", "s", 5)]
+        schema = "doc_id long, text string, lang string, source string, n_chars long"
+        spark.createDataFrame(rows1, schema).write.parquet(docs_dir)
+
+        out_dir = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ck")
+        q = stream_dedup_documents(spark, docs_dir, out_dir, ckpt)
+        q.awaitTermination(120)
+
+        # second drop contains a cross-batch duplicate of 'alpha beta'
+        spark.createDataFrame(rows2, schema).write.mode("append").parquet(docs_dir)
+        q = stream_dedup_documents(spark, docs_dir, out_dir, ckpt)
+        q.awaitTermination(120)
+
+        got = {r.doc_id for r in spark.read.parquet(out_dir).collect()}
+        assert got == {1, 2, 4}  # doc 3 deduped against state from batch 1
