@@ -375,3 +375,45 @@ class HeadTrainer:
         m.head_fact = m.head_fact + self.vel_f
         m.head_cond = m.head_cond + self.vel_c
         return float(loss_f), float(loss_c)
+
+
+def _collect_params(model: MimoTagger) -> dict:
+    p = {
+        "pos_emb": model.pos_emb, "cap_emb": model.cap_emb,
+        "w_pos": model.w_pos, "g_pos": model.g_pos,
+        "w_cap": model.w_cap, "g_cap": model.g_cap,
+        "w_lm": model.w_lm, "g_lm": model.g_lm,
+        "enc_f.w": model.enc_f.w, "enc_f.b": model.enc_f.b,
+        "enc_b.w": model.enc_b.w, "enc_b.b": model.enc_b.b,
+        "dec.w": model.dec.w, "dec.b": model.dec.b,
+        "head_fact": model.head_fact, "head_cond": model.head_cond,
+        "flags": np.array([model.use_lm, model.use_pos, model.use_cap,
+                           model.enhance], dtype=np.int8),
+    }
+    if model.lm_cell is not None:
+        p["lm_cell.w"] = model.lm_cell.w
+        p["lm_cell.b"] = model.lm_cell.b
+    return p
+
+
+def save_weights(model: MimoTagger, path: str) -> None:
+    """Persist the full parameter dict (the broadcastable checkpoint — the
+    rebuild's analog of the reference's .torch state dicts, utils.py:2696)."""
+    np.savez_compressed(path, **_collect_params(model))
+
+
+def load_weights(model: MimoTagger, path: str) -> MimoTagger:
+    """Load parameters in place; shapes must match the constructor config."""
+    data = np.load(path)
+    for key, current in _collect_params(model).items():
+        if key == "flags":
+            continue
+        loaded = data[key]
+        assert loaded.shape == current.shape, (key, loaded.shape, current.shape)
+        obj = model
+        attr = key
+        if "." in key:
+            head, attr = key.split(".")
+            obj = getattr(model, head)
+        setattr(obj, attr, loaded.astype(np.float32))
+    return model

@@ -44,6 +44,7 @@ def tag_statements(
     use_tcdel: bool = False,
     use_sh: bool = False,
     use_del: bool = False,
+    weights_path: str | None = None,
 ) -> DataFrame:
     """Attach ``fact_tags``/``cond_tags``.
 
@@ -52,6 +53,8 @@ def tag_statements(
     Correction flags drop statements exactly like the reference's
     pseudo-labeling filter chain (self_train.py:117-203).
     """
+    if weights_path is not None and mode != "neural":
+        raise ValueError("weights_path requires mode='neural'")
     if mode == "gold":
         if gold is None:
             raise ValueError("gold mode needs a gold DataFrame")
@@ -78,9 +81,11 @@ def tag_statements(
         def gen(batches):
             # built once per Python worker; in production the weight dict is
             # an sc.broadcast and this constructor loads from it
-            from scikg_spark.core.neural import MimoEnsemble, MimoTagger
+            from scikg_spark.core.neural import MimoEnsemble, MimoTagger, load_weights
 
             model = MimoEnsemble() if mode == "ensemble" else MimoTagger()
+            if weights_path is not None:
+                load_weights(model, weights_path)
             for pdf in batches:
                 if not len(pdf):
                     continue

@@ -67,3 +67,41 @@ def test_training_is_deterministic():
         return losses
 
     assert run() == run()
+
+
+def test_save_load_roundtrip(tmp_path):
+    from scikg_spark.core.neural import load_weights, save_weights
+
+    model = MimoTagger(seed=1)
+    trainer = HeadTrainer(model, lr=0.3)
+    words, pos, cap, yf, yc = _training_batch(n_stmts=5)
+    trainer.step(words, pos, cap, yf, yc)
+    path = str(tmp_path / "w.npz")
+    save_weights(model, path)
+    other = load_weights(MimoTagger(seed=99), path)
+    assert model.predict_tags(words, pos, cap) == other.predict_tags(words, pos, cap)
+
+
+def test_trained_weights_flow_through_spark(spark, tmp_path):
+    from scikg_spark.core.neural import save_weights
+    from scikg_spark.pipeline.stage1 import (
+        build_pages_from_documents, extract_statements)
+    from scikg_spark.pipeline.stage2 import tag_statements
+
+    model = MimoTagger(seed=7)
+    trainer = HeadTrainer(model, lr=0.3)
+    words, pos, cap, yf, yc = _training_batch(n_stmts=10)
+    for _ in range(5):
+        trainer.step(words, pos, cap, yf, yc)
+    path = str(tmp_path / "heads.npz")
+    save_weights(model, path)
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(20)
+    stmts = extract_statements(build_pages_from_documents(docs)).cache()
+    default = tag_statements(stmts, mode="neural").collect()
+    trained = tag_statements(stmts, mode="neural", weights_path=path).collect()
+    assert len(default) == len(trained)
+    # trained heads change predictions relative to the fixture weights
+    d = {(r.doc_id, r.stmt_id): tuple(r.fact_tags) for r in default}
+    t = {(r.doc_id, r.stmt_id): tuple(r.fact_tags) for r in trained}
+    assert d != t
