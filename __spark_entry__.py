@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_part_type_stats": relational.q_part_type_stats,
         "q_supplier_balance_rank": relational.q_supplier_balance_rank,
         "q_asof_event_order": relational.q_asof_event_order,
+        "q_lineitem_rollup": relational.q_lineitem_rollup,
         # text analysis
         "q_token_counts": text.q_token_counts,
         "q_quality": text.q_quality,

@@ -289,3 +289,24 @@ ORACLE["q_asof_event_order"] = """
     ASOF LEFT JOIN orders o
       ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
 """
+
+
+def q_lineitem_rollup(spark, sf_dir):
+    """ROLLUP grouping-sets coverage with grouping() indicator columns."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"),
+             F.round(F.sum("l_quantity"), 2).alias("qty"),
+             F.grouping("l_returnflag").cast("long").alias("g1"),
+             F.grouping("l_linestatus").cast("long").alias("g2"))
+    )
+
+
+ORACLE["q_lineitem_rollup"] = """
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           round(sum(l_quantity), 2) AS qty,
+           CAST(grouping(l_returnflag) AS BIGINT) AS g1,
+           CAST(grouping(l_linestatus) AS BIGINT) AS g2
+    FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""

@@ -148,19 +148,27 @@ def connected_components(edges: DataFrame, vertices: DataFrame,
     bidir = bidir.repartition(n_parts, "src")
     comp = vertices.select(F.col("id"), F.col("id").alias("comp"))
     comp = comp.repartition(n_parts, "id")
-    for _ in range(max_iter):
+
+    def propagate(frame):
         nbr_min = (
-            bidir.join(comp, bidir["src"] == comp["id"])
+            bidir.join(frame, bidir["src"] == frame["id"])
             .groupBy(bidir["dst"].alias("id2"))
             .agg(F.min("comp").alias("nbr_comp"))
         )
-        updated = (
-            comp.join(nbr_min, comp["id"] == nbr_min["id2"], "left")
+        return (
+            frame.join(nbr_min, frame["id"] == nbr_min["id2"], "left")
             .select(
                 "id",
-                F.least(F.col("comp"), F.coalesce("nbr_comp", "comp")).alias("new_comp"),
-                F.col("comp").alias("old_comp"),
-            )
+                F.least(F.col("comp"), F.coalesce("nbr_comp", "comp")).alias("comp"))
+        )
+
+    for _ in range(max_iter):
+        # two hops per materialized round halves the number of Spark jobs
+        # (convergence checks + checkpoints dominate on small graphs)
+        updated = (
+            propagate(propagate(comp))
+            .withColumnRenamed("comp", "new_comp")
+            .join(comp.withColumnRenamed("comp", "old_comp"), "id")
             .localCheckpoint()  # eager: one materialization per round
         )
         comp = updated.select("id", F.col("new_comp").alias("comp"))
