@@ -147,24 +147,40 @@ class MimoTagger:
             out[t] = h[0]
         return out
 
+    def _encode_bilstm(self, x, lens):
+        """Length-masked BiLSTM: padded timesteps never update (h, c), so a
+        statement's encoding is independent of its co-batched statements'
+        lengths — the numpy equivalent of pack_padded_sequence
+        (Stmt_Extraction_Net.py:167-170). Matters for the backward direction,
+        where right-padding precedes the valid tokens."""
+        B, T = x.shape[0], x.shape[1]
+        hf = np.zeros((B, HIDDEN), dtype=np.float32)
+        cf = np.zeros((B, HIDDEN), dtype=np.float32)
+        hb = np.zeros((B, HIDDEN), dtype=np.float32)
+        cb = np.zeros((B, HIDDEN), dtype=np.float32)
+        enc_f = np.zeros((B, T, HIDDEN), dtype=np.float32)
+        enc_b = np.zeros((B, T, HIDDEN), dtype=np.float32)
+        for t in range(T):
+            valid_f = (lens > t)[:, None]
+            h2, c2 = self.enc_f.step(x[:, t], hf, cf)
+            hf = np.where(valid_f, h2, hf)
+            cf = np.where(valid_f, c2, cf)
+            enc_f[:, t] = np.where(valid_f, hf, 0.0)
+            tb = T - 1 - t
+            valid_b = (lens > tb)[:, None]
+            h2, c2 = self.enc_b.step(x[:, tb], hb, cb)
+            hb = np.where(valid_b, h2, hb)
+            cb = np.where(valid_b, c2, cb)
+            enc_b[:, tb] = np.where(valid_b, hb, 0.0)
+        return np.concatenate([enc_f, enc_b], axis=2)
+
     # -- forward ------------------------------------------------------------
     def _forward(self, batch_words, batch_pos, batch_cap):
         lens = np.array([len(w) for w in batch_words])
         B, T = len(batch_words), int(lens.max())
         x = self._inputs(batch_words, batch_pos, batch_cap, T)
 
-        hf = np.zeros((B, HIDDEN), dtype=np.float32)
-        cf = np.zeros((B, HIDDEN), dtype=np.float32)
-        hb = np.zeros((B, HIDDEN), dtype=np.float32)
-        cb = np.zeros((B, HIDDEN), dtype=np.float32)
-        enc_f = np.empty((B, T, HIDDEN), dtype=np.float32)
-        enc_b = np.empty((B, T, HIDDEN), dtype=np.float32)
-        for t in range(T):
-            hf, cf = self.enc_f.step(x[:, t], hf, cf)
-            enc_f[:, t] = hf
-            hb, cb = self.enc_b.step(x[:, T - 1 - t], hb, cb)
-            enc_b[:, T - 1 - t] = hb
-        enc = np.concatenate([enc_f, enc_b], axis=2)
+        enc = self._encode_bilstm(x, lens)
 
         hd = np.zeros((B, HIDDEN), dtype=np.float32)
         cd = np.zeros((B, HIDDEN), dtype=np.float32)
@@ -300,18 +316,7 @@ class HeadTrainer:
         lens = np.array([len(w) for w in words])
         B, T = len(words), int(lens.max())
         x = m._inputs(words, pos, cap, T)
-        hf = np.zeros((B, HIDDEN), dtype=np.float32)
-        cf = np.zeros((B, HIDDEN), dtype=np.float32)
-        hb = np.zeros((B, HIDDEN), dtype=np.float32)
-        cb = np.zeros((B, HIDDEN), dtype=np.float32)
-        ef = np.empty((B, T, HIDDEN), dtype=np.float32)
-        eb = np.empty((B, T, HIDDEN), dtype=np.float32)
-        for t in range(T):
-            hf, cf = m.enc_f.step(x[:, t], hf, cf)
-            ef[:, t] = hf
-            hb, cb = m.enc_b.step(x[:, T - 1 - t], hb, cb)
-            eb[:, T - 1 - t] = hb
-        enc = np.concatenate([ef, eb], axis=2)
+        enc = m._encode_bilstm(x, lens)
         hd = np.zeros((B, HIDDEN), dtype=np.float32)
         cd = np.zeros((B, HIDDEN), dtype=np.float32)
         prev = np.zeros((B, 2 * N_TAGS), dtype=np.float32)
@@ -403,8 +408,17 @@ def save_weights(model: MimoTagger, path: str) -> None:
 
 
 def load_weights(model: MimoTagger, path: str) -> MimoTagger:
-    """Load parameters in place; shapes must match the constructor config."""
+    """Load parameters in place; the checkpoint's feature-config flags must
+    match the constructor config (a silent hybrid of trained heads over the
+    wrong feature gates would be garbage with no error)."""
     data = np.load(path)
+    saved_flags = data["flags"].tolist()
+    model_flags = [int(model.use_lm), int(model.use_pos), int(model.use_cap),
+                   int(model.enhance)]
+    if saved_flags != model_flags:
+        raise ValueError(
+            f"checkpoint config flags {saved_flags} (use_lm, use_pos, use_cap, "
+            f"enhance) do not match the model's {model_flags}")
     for key, current in _collect_params(model).items():
         if key == "flags":
             continue

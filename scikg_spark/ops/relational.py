@@ -34,7 +34,9 @@ def q_top_customer_revenue(spark, sf_dir):
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return (
-        li.join(F.broadcast(orders), li["l_orderkey"] == orders["o_orderkey"])
+        # orders is a fact table (~1.5M rows/SF): no broadcast hint — AQE
+        # picks the strategy by size; only the true dimension broadcasts
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
         .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
         .groupBy("c_custkey", "c_name")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
@@ -59,10 +61,13 @@ def q_user_first_event(spark, sf_dir):
 def q_event_type_overlap(spark, sf_dir):
     """Set-op coverage: users having BOTH of the two most common event types
     (INTERSECT), minus users of the rarest (EXCEPT)."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").filter(
+        F.col("user_id").isNotNull())
     types = [r["event_type"] for r in
              ev.groupBy("event_type").count()
              .orderBy(F.desc("count"), F.asc("event_type")).collect()]
+    if len(types) < 2:
+        return ev.select("user_id").limit(0)
     top1, top2, rare = types[0], types[1], types[-1]
     u = lambda t: ev.filter(F.col("event_type") == t).select("user_id").distinct()
     return (
@@ -126,11 +131,13 @@ ORACLE = {
         rare AS (SELECT event_type, row_number() OVER (ORDER BY c ASC, event_type DESC) AS r
                  FROM counts)
         SELECT DISTINCT user_id FROM events
-        WHERE event_type = (SELECT event_type FROM tops WHERE r = 1)
+        WHERE user_id IS NOT NULL
+          AND event_type = (SELECT event_type FROM tops WHERE r = 1)
           AND user_id IN (SELECT user_id FROM events
                           WHERE event_type = (SELECT event_type FROM tops WHERE r = 2))
           AND user_id NOT IN (SELECT user_id FROM events
-                              WHERE event_type = (SELECT event_type FROM rare WHERE r = 1))
+                              WHERE user_id IS NOT NULL
+                                AND event_type = (SELECT event_type FROM rare WHERE r = 1))
         ORDER BY user_id
     """,
     "q_nation_order_priority": """
@@ -249,10 +256,20 @@ def q_asof_event_order(spark, sf_dir):
     duel checks the full as-of semantics."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
         "user_id", "ts", "event_id")
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
-        F.col("o_custkey").alias("user_id"),
-        F.col("o_orderdate").alias("ts"),
-        "o_orderkey", "o_totalprice")
+    # make the as-of target unique per (user, timestamp): DuckDB's ASOF picks
+    # an arbitrary row among equal timestamps, so ties must not exist for the
+    # duel to be well-defined — keep the max orderkey per (custkey, date)
+    raw_orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w_dedup = Window.partitionBy("o_custkey", "o_orderdate").orderBy(
+        F.desc("o_orderkey"))
+    orders = (
+        raw_orders.withColumn("_rn", F.row_number().over(w_dedup))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").alias("ts"),
+            "o_orderkey", "o_totalprice")
+    )
     left = ev.select(
         "user_id", "ts", "event_id",
         F.lit(None).cast("long").alias("o_orderkey"),
@@ -282,11 +299,17 @@ def q_asof_event_order(spark, sf_dir):
 
 
 ORACLE["q_asof_event_order"] = """
+    WITH uniq_orders AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                                         ORDER BY o_orderkey DESC) AS _rn
+            FROM orders) WHERE _rn = 1
+    )
     SELECT e.event_id, e.user_id,
            o.o_orderkey AS asof_orderkey,
            round(o.o_totalprice, 2) AS asof_totalprice
     FROM events e
-    ASOF LEFT JOIN orders o
+    ASOF LEFT JOIN uniq_orders o
       ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
 """
 

@@ -62,7 +62,12 @@ def q_ann_lsh_buckets(spark, sf_dir, n_planes: int = 8):
     from xxhash64(plane, dim) so executors need no shared state. Rows-only
     check (not SQL-expressible without the same hash function)."""
     emb = _emb(spark, sf_dir)
-    dim = len(emb.select("embedding").head()["embedding"])
+    first = emb.select("embedding").head()
+    if first is None or first["embedding"] is None:
+        # empty table: keep the output schema without crashing (the dim probe
+        # is an eager one-row job by design — documented cost)
+        return spark.createDataFrame([], "bucket string, n_vecs bigint")
+    dim = len(first["embedding"])
     sign_cols = []
     for p in range(n_planes):
         terms = " + ".join(

@@ -148,33 +148,55 @@ class PartitionedIncrementalWriter:
         os.replace(tmp, self.manifest_path)
 
     def pending_input(self, df: DataFrame) -> DataFrame:
-        """Anti-join completed partition values out of the input."""
+        """Anti-join completed partition values out of the input (string
+        compare: manifest values come from directory names)."""
         done = self.completed()
         if not done:
             return df
         done_df = self.spark.createDataFrame(
-            [(v,) for v in done], f"{self.partition_col} {dict(df.dtypes)[self.partition_col]}")
-        return df.join(F.broadcast(done_df), self.partition_col, "left_anti")
+            [(str(v),) for v in done], "__done string")
+        return df.join(
+            F.broadcast(done_df),
+            F.col(self.partition_col).cast("string") == F.col("__done"),
+            "left_anti")
 
     def write(self, df: DataFrame, max_new: int | None = None) -> dict:
-        """Write the not-yet-completed partitions of ``df``, one partition
-        value per atomic commit. ``max_new`` limits how many partition values
-        are processed (used by the kill-mid-backfill test). Returns counts."""
+        """Write the not-yet-completed partitions of ``df``: the pending input
+        is computed ONCE (partitionBy into a staging dir — not once per
+        partition value, which would re-run the upstream plan O(P) times),
+        then each partition directory is moved into place and committed
+        atomically. ``max_new`` limits how many partition values are taken
+        (used by the kill-mid-backfill test)."""
+        import shutil
+        from urllib.parse import unquote
+
         pending = self.pending_input(df)
         values = [r[0] for r in
                   pending.select(self.partition_col).distinct().collect()]
         values.sort(key=str)
         if max_new is not None:
             values = values[:max_new]
+            pending = pending.filter(F.col(self.partition_col).isin(values))
         done = list(self.completed())
+        if not values:
+            return {"written_partitions": 0, "completed_total": len(done)}
+
+        staging = os.path.join(self.table_dir, ".staging")
+        shutil.rmtree(staging, ignore_errors=True)
+        pending.write.partitionBy(self.partition_col).parquet(staging)
+
         written = 0
-        for v in values:
-            part_df = df.filter(F.col(self.partition_col) == v)
-            out = os.path.join(self.data_dir, f"{self.partition_col}={v}")
-            part_df.drop(self.partition_col).write.mode("overwrite").parquet(out)
-            done.append(v)
+        for name in sorted(os.listdir(staging)):
+            if not name.startswith(f"{self.partition_col}="):
+                continue  # _SUCCESS etc.
+            value = unquote(name.split("=", 1)[1])  # Spark percent-escapes
+            target = os.path.join(self.data_dir, name)
+            shutil.rmtree(target, ignore_errors=True)
+            os.replace(os.path.join(staging, name), target)
+            done.append(value)
             self._commit(done)  # atomic per-partition commit point
             written += 1
+        shutil.rmtree(staging, ignore_errors=True)
         return {"written_partitions": written, "completed_total": len(done)}
 
     def read(self) -> DataFrame:

@@ -95,16 +95,22 @@ def stream_dedup_documents(
     )
 
     def dedup(key, pdf_iter, state):
+        # a hash group may arrive split across several pandas chunks within
+        # one micro-batch: pick the min doc_id across ALL chunks so the kept
+        # representative is deterministic under any partitioning
         seen = state.get[0] if state.exists else 0
-        out = []
+        first_seen = seen == 0
+        best = None
         for pdf in pdf_iter:
-            pdf = pdf.sort_values("doc_id")
-            if seen == 0 and len(pdf):
-                out.append(pdf.iloc[[0]][["doc_id", "text_hash", "n_chars"]])
+            if len(pdf):
+                cand = pdf.loc[[pdf["doc_id"].idxmin()],
+                               ["doc_id", "text_hash", "n_chars"]]
+                if best is None or cand["doc_id"].iloc[0] < best["doc_id"].iloc[0]:
+                    best = cand
             seen += len(pdf)
         state.update((seen,))
-        if out:
-            yield from out
+        if first_seen and best is not None:
+            yield best
 
     deduped = (
         docs.groupBy("text_hash")

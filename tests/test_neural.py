@@ -78,3 +78,30 @@ class TestSparkIntegration:
         t2 = decode_tuples(tag_statements(stmts, mode="neural")).collect()
         key = lambda r: (r.url, r.stmt_id, r.kind, r.tuple_idx, r.subj)
         assert sorted(map(key, t1)) == sorted(map(key, t2))
+
+
+class TestPaddingMask:
+    def test_batching_invariance_with_nonzero_biases(self):
+        # nonzero LSTM biases expose unmasked padding: a statement's tags
+        # must not depend on its co-batched statements' lengths
+        import numpy as np
+
+        m = MimoTagger(seed=13)
+        m.enc_b.b = m.enc_b.b + 0.5
+        m.enc_f.b = m.enc_f.b + 0.25
+        short = _mk(4, 1)
+        long_ = _mk(25, 2)
+        alone = m.predict_tags([short[0]], [short[1]], [short[2]])[0]
+        together = m.predict_tags(*zip(*[short, long_]))[0]
+        assert alone == together
+
+    def test_flags_mismatch_rejected(self, tmp_path):
+        import pytest
+
+        from scikg_spark.core.neural import load_weights, save_weights
+
+        src = MimoTagger(seed=3, use_lm=True, use_pos=False)
+        path = str(tmp_path / "w.npz")
+        save_weights(src, path)
+        with pytest.raises(ValueError, match="config flags"):
+            load_weights(MimoTagger(seed=3), path)

@@ -78,3 +78,14 @@ def test_entry_smoke(spark):
     assert df.count() > 0
     assert set(df.columns) == {
         "doc_id", "stmt_id", "kind", "tuple_idx", "subj", "pred", "obj"}
+
+
+def test_ann_lsh_handles_empty_embeddings(spark, tmp_path):
+    from scikg_spark.ops.similarity import q_ann_lsh_buckets
+
+    empty_dir = str(tmp_path / "sf_empty")
+    spark.createDataFrame(
+        [], "vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{empty_dir}/embeddings.parquet")
+    df = q_ann_lsh_buckets(spark, empty_dir)
+    assert df.count() == 0

@@ -151,3 +151,28 @@ class TestSynonymEdges:
         ids = {r.phrase: r.entity_id for r in pmap.collect()}
         assert ids["tumor"] == ids["neoplasm"]
         assert ids["pain"] != ids["ache"]
+
+
+class TestCCNonConvergence:
+    def test_warns_on_diameter_exceeding_budget(self, spark):
+        import warnings
+
+        from scikg_spark.pipeline.stage3 import connected_components
+
+        # chain of 12 nodes, max_iter=1 -> 2 hops: cannot converge
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(11)], "src long, dst long")
+        verts = spark.createDataFrame([(i,) for i in range(12)], "id long")
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            connected_components(edges, verts, max_iter=1).collect()
+        assert any("did not converge" in str(w.message) for w in caught)
+
+    def test_long_chain_converges_within_budget(self, spark):
+        from scikg_spark.pipeline.stage3 import connected_components
+
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(11)], "src long, dst long")
+        verts = spark.createDataFrame([(i,) for i in range(12)], "id long")
+        comp = connected_components(edges, verts, max_iter=10).collect()
+        assert {r.comp for r in comp} == {0}
