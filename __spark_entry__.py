@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lang_stats": text.q_lang_stats,
         "q_fingerprint": text.q_fingerprint,
         "q_langid": text.q_langid,
+        "q_token_regex": text.q_token_regex,
         # deduplication
         "q_dedup_exact": dedup.q_dedup_exact,
         "q_minhash_dup_pairs": dedup.q_minhash_dup_pairs,
@@ -81,6 +82,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embedding_norms": similarity.q_embedding_norms,
         "q_cosine_topk": similarity.q_cosine_topk,
         "q_ann_lsh_buckets": similarity.q_ann_lsh_buckets,
+        "q_embedding_neardup": similarity.q_embedding_neardup,
         # multimodal plumbing (decode stubbed behind a deterministic fake
         # container; rows-only)
         "q_media_features": multimodal.q_media_features,

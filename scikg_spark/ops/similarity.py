@@ -121,3 +121,39 @@ ORACLE = {
         FROM ranked WHERE rank <= 5
     """,
 }
+
+
+def q_embedding_neardup(spark, sf_dir, threshold: float = 0.95):
+    """Embedding-cosine near-duplicate pairs (dedup by vector similarity):
+    all pairs with cosine >= threshold. Brute force at oracle scale; the
+    production path blocks through q_ann_lsh_buckets first."""
+    emb = _emb(spark, sf_dir)
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", F.expr(_cosine("ea", "eb")))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", F.round("cos", 4).alias("cos_r"))
+    )
+
+
+ORACLE["q_embedding_neardup"] = """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(
+             list_dot_product(list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+                              list_transform(b.embedding, x -> CAST(x AS DOUBLE)))
+             / (sqrt(list_dot_product(list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+                                      list_transform(a.embedding, x -> CAST(x AS DOUBLE))))
+                * sqrt(list_dot_product(list_transform(b.embedding, x -> CAST(x AS DOUBLE)),
+                                        list_transform(b.embedding, x -> CAST(x AS DOUBLE))))),
+             4) AS cos_r
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+                           list_transform(b.embedding, x -> CAST(x AS DOUBLE)))
+          / (sqrt(list_dot_product(list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+                                   list_transform(a.embedding, x -> CAST(x AS DOUBLE))))
+             * sqrt(list_dot_product(list_transform(b.embedding, x -> CAST(x AS DOUBLE)),
+                                     list_transform(b.embedding, x -> CAST(x AS DOUBLE)))))
+          >= 0.95
+"""

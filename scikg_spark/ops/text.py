@@ -124,3 +124,26 @@ ORACLE = {
         FROM documents WHERE n_chars > 0
     """,
 }
+
+
+def q_token_regex(spark, sf_dir):
+    """BPE-ish regex token counting next to whitespace counting: alnum runs
+    only (empty fragments dropped)."""
+    toks_ws = F.size(F.split("text", " ")).cast("long")
+    toks_re = F.size(F.filter(
+        F.split(F.lower("text"), "[^a-z0-9]+"), lambda t: t != "")).cast("long")
+    return (
+        _docs(spark, sf_dir)
+        .filter(F.col("n_chars") > 0)
+        .select("doc_id", toks_ws.alias("n_ws_tokens"),
+                toks_re.alias("n_regex_tokens"))
+    )
+
+
+ORACLE["q_token_regex"] = """
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_ws_tokens,
+           len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           t -> t != '')) AS n_regex_tokens
+    FROM documents WHERE n_chars > 0
+"""
