@@ -431,3 +431,31 @@ def load_weights(model: MimoTagger, path: str) -> MimoTagger:
             obj = getattr(model, head)
         setattr(obj, attr, loaded.astype(np.float32))
     return model
+
+
+def parse_model_config(checkpoint_name: str) -> dict:
+    """Decode the reference's checkpoint-filename config bits
+    (utils.py:2679-2721): the last '_'-separated token before the extension
+    is either 9 bits (single model: 3 bits each for LM / POSTAG / CAP feature
+    gating; POSCAP ignored by the reference itself) or 3 bits (ensemble:
+    which single models participate)."""
+    bits_str = checkpoint_name.split("_")[-1].split(".")[0]
+    bits = [bool(int(b)) for b in bits_str]
+    if len(bits) == 9:
+        return {"kind": "single", "lm": bits[:3], "postag": bits[3:6],
+                "cap": bits[6:9]}
+    if len(bits) == 3:
+        return {"kind": "ensemble", "use_lm": bits[0], "use_postag": bits[1],
+                "use_cap": bits[2]}
+    raise ValueError(f"config token {bits_str!r} is neither 9 nor 3 bits")
+
+
+def tagger_from_checkpoint_name(name: str, seed: int = 824) -> "MimoTagger | MimoEnsemble":
+    """Construct the matching (fixture-weighted) model for a reference-style
+    checkpoint name — the plug-compatibility shim for checkpoint wiring
+    (MIMO_Extractor.py:237-246, 255-268)."""
+    cfg = parse_model_config(name)
+    if cfg["kind"] == "ensemble":
+        return MimoEnsemble(seed=seed)
+    return MimoTagger(seed=seed, use_lm=any(cfg["lm"]),
+                      use_pos=any(cfg["postag"]), use_cap=any(cfg["cap"]))

@@ -105,3 +105,39 @@ class TestPaddingMask:
         save_weights(src, path)
         with pytest.raises(ValueError, match="config flags"):
             load_weights(MimoTagger(seed=3), path)
+
+
+class TestConfigCodec:
+    def test_single_model_bits(self):
+        from scikg_spark.core.neural import parse_model_config
+
+        # the reference's own checkpoint names (MIMO_Extractor.py:255)
+        cfg = parse_model_config("supervised_model_SeT_AR_SH_011000000.torch")
+        assert cfg == {"kind": "single", "lm": [False, True, True],
+                       "postag": [False] * 3, "cap": [False] * 3}
+
+    def test_ensemble_bits(self):
+        from scikg_spark.core.neural import parse_model_config
+
+        cfg = parse_model_config(
+            "SeT_AR_TC_SH_DEL_ensemble_supervised_model_111.torch")
+        assert cfg == {"kind": "ensemble", "use_lm": True,
+                       "use_postag": True, "use_cap": True}
+
+    def test_model_construction(self):
+        from scikg_spark.core.neural import (
+            MimoEnsemble, tagger_from_checkpoint_name)
+
+        m = tagger_from_checkpoint_name("model_000111000.torch")
+        assert isinstance(m, MimoTagger)
+        assert not m.use_lm and m.use_pos and not m.use_cap
+        e = tagger_from_checkpoint_name("model_101.torch")
+        assert isinstance(e, MimoEnsemble)
+
+    def test_bad_config_rejected(self):
+        import pytest
+
+        from scikg_spark.core.neural import parse_model_config
+
+        with pytest.raises(ValueError):
+            parse_model_config("model_01.torch")
