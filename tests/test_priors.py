@@ -50,3 +50,36 @@ class TestConfidenceThreshold:
         base = m.predict_tags(*stmts)
         thr = m.predict_tags(*stmts, threshold_fact=1e-9, threshold_cond=1e-9)
         assert base == thr
+
+
+class TestWord2Vec:
+    def test_bin_roundtrip(self, tmp_path):
+        import numpy as np
+
+        from scikg_spark.core.word2vec import (
+            lookup_vectors, read_word2vec_bin, write_word2vec_bin)
+
+        rng = np.random.default_rng(5)
+        words = ["cats", "dogs", "t-cells"]
+        mat = rng.standard_normal((3, 50)).astype(np.float32)
+        path = str(tmp_path / "vec.bin")
+        write_word2vec_bin(path, words, mat)
+        matrix, word2id = read_word2vec_bin(path)
+        assert matrix.shape == (5, 50)  # + <pad>, <unk>
+        assert word2id["cats"] == 2
+        assert np.allclose(matrix[word2id["dogs"]], mat[1])
+        # OOV falls back to <unk> (row 1); lookup lowercases
+        got = lookup_vectors(["CATS", "zebra"], matrix, word2id)
+        assert np.allclose(got[0], mat[0])
+        assert np.allclose(got[1], matrix[1])
+
+    def test_max_words(self, tmp_path):
+        import numpy as np
+
+        from scikg_spark.core.word2vec import read_word2vec_bin, write_word2vec_bin
+
+        path = str(tmp_path / "v.bin")
+        write_word2vec_bin(path, ["a", "b", "c"],
+                           np.ones((3, 4), dtype=np.float32))
+        matrix, word2id = read_word2vec_bin(path, max_words=2)
+        assert len(word2id) == 4 and "c" not in word2id
