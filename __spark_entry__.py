@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_fingerprint": text.q_fingerprint,
         "q_langid": text.q_langid,
         "q_token_regex": text.q_token_regex,
+        "q_winnow_fingerprints": text.q_winnow_fingerprints,
         # deduplication
         "q_dedup_exact": dedup.q_dedup_exact,
         "q_minhash_dup_pairs": dedup.q_minhash_dup_pairs,

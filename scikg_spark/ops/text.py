@@ -147,3 +147,53 @@ ORACLE["q_token_regex"] = """
                            t -> t != '')) AS n_regex_tokens
     FROM documents WHERE n_chars > 0
 """
+
+
+def _rolling_hash_expr(k: int = 8, base: int = 31, mod: int = 1_000_003) -> str:
+    """Engine-neutral Rabin-Karp hash of the k chars starting at position i
+    (1-based): sum(ascii(char_{i+j}) * base^(k-1-j)) % mod. base^(k-1)*127
+    stays far below 2^63, so plain bigint arithmetic agrees on both engines."""
+    terms = " + ".join(
+        f"cast(ascii(substring(text, i + {j}, 1)) as bigint) * {base ** (k - 1 - j)}"
+        for j in range(k))
+    return f"(({terms}) % {mod})"
+
+
+def q_winnow_fingerprints(spark, sf_dir, k: int = 8, window: int = 4):
+    """Winnowing document fingerprints (the MOSS scheme): k-gram rolling
+    hashes, then the minimum hash of every ``window`` consecutive positions;
+    the distinct minima are the document's fingerprint set. All arithmetic is
+    engine-neutral SQL, so the full scheme is oracle-checked."""
+    from pyspark.sql.window import Window as W
+
+    docs = _docs(spark, sf_dir).filter(F.col("n_chars") >= k + window)
+    hashes = docs.select(
+        "doc_id",
+        F.explode(F.expr(
+            f"transform(sequence(1, length(text) - {k} + 1), i -> "
+            f"named_struct('pos', i, 'h', {_rolling_hash_expr(k)}))")).alias("g"),
+    ).select("doc_id", "g.pos", "g.h")
+    w = (W.partitionBy("doc_id").orderBy("pos")
+         .rowsBetween(0, window - 1))
+    return (
+        hashes.withColumn("fp", F.min("h").over(w))
+        .select("doc_id", "fp")
+        .distinct()
+    )
+
+
+ORACLE["q_winnow_fingerprints"] = f"""
+    WITH hashes AS (
+        SELECT doc_id, i AS pos,
+               {_rolling_hash_expr().replace('i +', 'i +')} AS h
+        FROM documents, unnest(generate_series(1, length(text) - 8 + 1)) AS t(i)
+        WHERE n_chars >= 12
+    ),
+    winnowed AS (
+        SELECT doc_id,
+               min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+        FROM hashes
+    )
+    SELECT DISTINCT doc_id, fp FROM winnowed
+"""

@@ -202,3 +202,22 @@ class PartitionedIncrementalWriter:
     def read(self) -> DataFrame:
         return self.spark.read.option("basePath", self.data_dir).parquet(
             os.path.join(self.data_dir, "*"))
+
+
+def verify_snapshot(catalog: SnapshotCatalog, table: str) -> dict:
+    """Re-derive the per-partition lineage of a committed snapshot and
+    compare against the manifest — detects on-disk corruption or a manifest
+    out of sync with its data. Returns {'ok': bool, 'expected', 'actual'}."""
+    manifest = catalog.manifest(table)
+    if not manifest or manifest.get("status") != "committed":
+        return {"ok": False, "error": "no committed snapshot"}
+    actual = catalog._partition_lineage(catalog.read(table))
+    expected = manifest["lineage"]
+    exp_rows = sum(p["rows"] for p in expected)
+    act_rows = sum(p["rows"] for p in actual)
+    # partition ids can differ after a re-read (task scheduling); compare the
+    # multiset of (rows, checksum) pairs plus totals
+    exp_set = sorted((p["rows"], p["checksum"]) for p in expected)
+    act_set = sorted((p["rows"], p["checksum"]) for p in actual)
+    return {"ok": exp_rows == act_rows and exp_set == act_set,
+            "rows_expected": exp_rows, "rows_actual": act_rows}

@@ -176,3 +176,29 @@ class TestCCNonConvergence:
         verts = spark.createDataFrame([(i,) for i in range(12)], "id long")
         comp = connected_components(edges, verts, max_iter=10).collect()
         assert {r.comp for r in comp} == {0}
+
+
+class TestSnapshotVerify:
+    def test_intact_snapshot_verifies(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from scikg_spark.pipeline.stage4 import SnapshotCatalog, verify_snapshot
+
+        cat = SnapshotCatalog(spark, str(tmp_path))
+        cat.write(spark.range(50).withColumn("v", F.col("id") * 3), "t")
+        assert verify_snapshot(cat, "t")["ok"]
+
+    def test_corruption_detected(self, spark, tmp_path):
+        import glob
+        import os
+
+        from pyspark.sql import functions as F
+
+        from scikg_spark.pipeline.stage4 import SnapshotCatalog, verify_snapshot
+
+        cat = SnapshotCatalog(spark, str(tmp_path))
+        cat.write(spark.range(50).withColumn("v", F.col("id") * 3), "t")
+        # delete one data file out from under the manifest
+        victim = sorted(glob.glob(str(tmp_path / "t" / "snap-1" / "*.parquet")))[0]
+        os.remove(victim)
+        assert not verify_snapshot(cat, "t")["ok"]
