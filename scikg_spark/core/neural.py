@@ -459,3 +459,123 @@ def tagger_from_checkpoint_name(name: str, seed: int = 824) -> "MimoTagger | Mim
         return MimoEnsemble(seed=seed)
     return MimoTagger(seed=seed, use_lm=any(cfg["lm"]),
                       use_pos=any(cfg["postag"]), use_cap=any(cfg["cap"]))
+
+
+class ProbeTagger:
+    """Distillation tagger: frozen MimoTagger encoder + feature-augmented
+    linear heads. Head input per token = [decoder hidden (300) | CAP one-hot
+    | POS one-hot | 3 position scalars (relative index, distance to nearest
+    VB*, distance to nearest IN)] — skip connections of the same raw features
+    the reference feeds through its embeddings (Stmt_Extraction_Net.py:96-137),
+    which lets a linear probe recover mention-role structure the frozen
+    random recurrence only noisily preserves.
+    """
+
+    N_FEAT = HIDDEN + (len(CAP_TAGS) + 1) + (len(POS_TAGS) + 1) + 3
+
+    def __init__(self, base: MimoTagger | None = None, seed: int = 824):
+        self.base = base or MimoTagger(seed=seed)
+        rng = np.random.default_rng(seed + 7)
+        self.head_fact = _rng_mat(rng, self.N_FEAT, N_TAGS)
+        self.head_cond = _rng_mat(rng, self.N_FEAT, N_TAGS)
+
+    # -- features -----------------------------------------------------------
+    def _features(self, words, pos, cap):
+        """-> list of (n_i, N_FEAT) arrays, one per statement."""
+        trainer_like = HeadTrainer(self.base)
+        hidden, lens = trainer_like._encode(words, pos, cap)
+        cap2id = {t: i for i, t in enumerate(CAP_TAGS)}
+        pos2id = {t: i for i, t in enumerate(POS_TAGS)}
+        out = []
+        for b, n in enumerate(lens):
+            caps_oh = np.zeros((n, len(CAP_TAGS) + 1), dtype=np.float32)
+            pos_oh = np.zeros((n, len(POS_TAGS) + 1), dtype=np.float32)
+            extra = np.zeros((n, 3), dtype=np.float32)
+            vb_idx = [i for i, p in enumerate(pos[b]) if p.startswith("VB")]
+            in_idx = [i for i, p in enumerate(pos[b]) if p == "IN"]
+            for i in range(n):
+                caps_oh[i, cap2id.get(cap[b][i], len(CAP_TAGS))] = 1.0
+                pos_oh[i, pos2id.get(pos[b][i], len(POS_TAGS))] = 1.0
+                extra[i, 0] = i / max(n - 1, 1)
+                extra[i, 1] = min((abs(i - v) for v in vb_idx), default=99) / 10.0
+                extra[i, 2] = min((abs(i - v) for v in in_idx), default=99) / 10.0
+            out.append(np.concatenate(
+                [hidden[b, :n], caps_oh, pos_oh, extra], axis=1))
+        return out
+
+    # -- predict --------------------------------------------------------------
+    def predict_tags(self, batch_words, batch_pos, batch_cap):
+        results = []
+        feats = self._features(batch_words, batch_pos, batch_cap)
+        for X in feats:
+            f_ids = (X @ self.head_fact).argmax(axis=1)
+            c_ids = (X @ self.head_cond).argmax(axis=1)
+            results.append((
+                [FACT_TAGS[j] for j in f_ids],
+                [COND_TAGS[j] for j in c_ids]))
+        return results
+
+    # -- train ----------------------------------------------------------------
+    def train_step(self, words, pos, cap, fact_ids, cond_ids,
+                   w_fact=None, w_cond=None, lr=0.3, wd=5e-4, clip=5.0):
+        if not hasattr(self, "_vel"):
+            self._vel = {}
+        _state = self._vel
+        feats = self._features(words, pos, cap)
+        X = np.concatenate(feats, axis=0)
+        yf = np.asarray([t for seq in fact_ids for t in seq])
+        yc = np.asarray([t for seq in cond_ids for t in seq])
+        if w_fact is None:
+            w_fact = np.ones(N_TAGS, dtype=np.float32)
+        if w_cond is None:
+            w_cond = np.ones(N_TAGS, dtype=np.float32)
+        losses = []
+        for name, W, y, wts in (("f", self.head_fact, yf, w_fact),
+                                ("c", self.head_cond, yc, w_cond)):
+            logp = _log_softmax(X @ W)
+            p = np.exp(logp)
+            sw = wts[y]
+            denom = max(sw.sum(), 1e-9)
+            losses.append(float(-(sw * logp[np.arange(len(y)), y]).sum() / denom))
+            d = p.copy()
+            d[np.arange(len(y)), y] -= 1.0
+            d *= (sw / denom)[:, None]
+            g = X.T @ d + wd * W
+            gn = np.linalg.norm(g)
+            if gn > clip:
+                g *= clip / gn
+            vel = _state.get(name)
+            vel = (0.9 * vel - lr * g) if vel is not None else (-lr * g)
+            _state[name] = vel
+            if name == "f":
+                self.head_fact = W + vel
+            else:
+                self.head_cond = W + vel
+        return tuple(losses)
+
+    # -- persistence ------------------------------------------------------------
+    def save(self, path: str):
+        np.savez_compressed(path, probe_head_fact=self.head_fact,
+                            probe_head_cond=self.head_cond,
+                            **_collect_params(self.base))
+
+    @classmethod
+    def load(cls, path: str, seed: int = 824) -> "ProbeTagger":
+        data = np.load(path)
+        probe = cls(seed=seed)
+        load_weights_from_npz(probe.base, data)
+        probe.head_fact = data["probe_head_fact"].astype(np.float32)
+        probe.head_cond = data["probe_head_cond"].astype(np.float32)
+        return probe
+
+
+def load_weights_from_npz(model: MimoTagger, data) -> MimoTagger:
+    for key, current in _collect_params(model).items():
+        if key == "flags" or key not in data:
+            continue
+        obj, attr = model, key
+        if "." in key:
+            head, attr = key.split(".")
+            obj = getattr(model, head)
+        setattr(obj, attr, data[key].astype(np.float32))
+    return model

@@ -53,8 +53,10 @@ def tag_statements(
     Correction flags drop statements exactly like the reference's
     pseudo-labeling filter chain (self_train.py:117-203).
     """
-    if weights_path is not None and mode != "neural":
-        raise ValueError("weights_path requires mode='neural'")
+    if weights_path is not None and mode not in ("neural", "probe"):
+        raise ValueError("weights_path requires mode='neural' or 'probe'")
+    if mode == "probe" and weights_path is None:
+        raise ValueError("probe mode needs a trained weights_path")
     if mode == "gold":
         if gold is None:
             raise ValueError("gold mode needs a gold DataFrame")
@@ -77,15 +79,19 @@ def tag_statements(
                 yield pdf
 
         tagged = statements.mapInPandas(gen, schema=TAGGED_SCHEMA)
-    elif mode in ("neural", "ensemble"):
+    elif mode in ("neural", "ensemble", "probe"):
         def gen(batches):
             # built once per Python worker; in production the weight dict is
             # an sc.broadcast and this constructor loads from it
-            from scikg_spark.core.neural import MimoEnsemble, MimoTagger, load_weights
+            from scikg_spark.core.neural import (
+                MimoEnsemble, MimoTagger, ProbeTagger, load_weights)
 
-            model = MimoEnsemble() if mode == "ensemble" else MimoTagger()
-            if weights_path is not None:
-                load_weights(model, weights_path)
+            if mode == "probe":
+                model = ProbeTagger.load(weights_path)
+            else:
+                model = MimoEnsemble() if mode == "ensemble" else MimoTagger()
+                if weights_path is not None:
+                    load_weights(model, weights_path)
             for pdf in batches:
                 if not len(pdf):
                     continue

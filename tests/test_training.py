@@ -105,3 +105,70 @@ def test_trained_weights_flow_through_spark(spark, tmp_path):
     d = {(r.doc_id, r.stmt_id): tuple(r.fact_tags) for r in default}
     t = {(r.doc_id, r.stmt_id): tuple(r.fact_tags) for r in trained}
     assert d != t
+
+
+class TestProbeTagger:
+    def test_probe_learns_rule_labels(self):
+        import numpy as np
+
+        from scikg_spark.core.neural import ProbeTagger
+        from scikg_spark.core.tagger import rule_tag
+        from scikg_spark.core.tags import COND_TAG2ID, FACT_TAG2ID
+        from scikg_spark.core.synth import statements_from_tokens
+
+        def corpus(n_docs, prefix):
+            w_, p_, c_, yf, yc = [], [], [], [], []
+            for d in range(n_docs):
+                toks = [f"w{(d * 31 + i * 7) % 150}" for i in range(50)]
+                for (w, p, c) in statements_from_tokens(f"{prefix}{d}", toks):
+                    ft, ct = rule_tag(w, p, c)
+                    w_.append(w)
+                    p_.append(p)
+                    c_.append(c)
+                    yf.append([FACT_TAG2ID[t] for t in ft])
+                    yc.append([COND_TAG2ID[t] for t in ct])
+            return w_, p_, c_, yf, yc
+
+        trw, trp, trc, tryf, tryc = corpus(40, "tr")
+        tew, tep, tec, teyf, teyc = corpus(10, "te")
+        probe = ProbeTagger(seed=824)
+        idx = np.arange(len(trw))
+        rng = np.random.default_rng(0)
+        for _ in range(8):
+            rng.shuffle(idx)
+            for s in range(0, len(idx), 64):
+                b = idx[s:s + 64]
+                probe.train_step(
+                    [trw[i] for i in b], [trp[i] for i in b], [trc[i] for i in b],
+                    [tryf[i] for i in b], [tryc[i] for i in b])
+        preds = probe.predict_tags(tew, tep, tec)
+        hit = tot = 0
+        for (ft, _), gold in zip(preds, teyf):
+            for t, g in zip(ft, gold):
+                hit += int(FACT_TAG2ID[t] == g)
+                tot += 1
+        assert hit / tot > 0.9  # feature-augmented probe must learn the task
+
+    def test_probe_save_load_roundtrip(self, tmp_path):
+        from scikg_spark.core.neural import ProbeTagger
+
+        probe = ProbeTagger(seed=1)
+        stmts = ([["a", "b", "c"]], [["NN", "VBZ", "NN"]], [["B-C", "B-P", "B-C"]])
+        probe.train_step(*stmts, [[1, 2, 3]], [[1, 2, 3]])
+        path = str(tmp_path / "probe.npz")
+        probe.save(path)
+        other = ProbeTagger.load(path)
+        assert probe.predict_tags(*stmts) == other.predict_tags(*stmts)
+
+    def test_probe_mode_requires_weights(self, spark):
+        import pytest
+
+        from scikg_spark.pipeline.stage1 import (
+            build_pages_from_documents, extract_statements)
+        from scikg_spark.pipeline.stage2 import tag_statements
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet").limit(5)
+        stmts = extract_statements(build_pages_from_documents(docs))
+        with pytest.raises(ValueError, match="probe mode"):
+            tag_statements(stmts, mode="probe")
