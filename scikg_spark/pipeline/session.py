@@ -20,6 +20,10 @@ def _ensure_package_visible_to_workers():
     if repo_root not in current.split(os.pathsep):
         os.environ["PYTHONPATH"] = (
             repo_root + (os.pathsep + current if current else ""))
+    # one BLAS thread per Python worker: N workers x multithreaded OpenBLAS
+    # oversubscribes the box and tanks numpy-UDF scaling
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
 
 
 def get_spark(app_name="scikg", cores=None, shuffle_partitions=None,
