@@ -45,19 +45,40 @@ _COLS = ["url", "doc_id", "stmt_id", "kind", "tuple_idx",
 
 
 def extract_tuples(statements: DataFrame, ar=None, use_tc=False,
-                   use_tcdel=False, use_sh=False, use_del=False) -> DataFrame:
-    """statements -> tuples: rule-tag + correct + decode in ONE Python pass."""
+                   use_tcdel=False, use_sh=False, use_del=False,
+                   tagger: str = "rule",
+                   weights_path: str | None = None) -> DataFrame:
+    """statements -> tuples: tag + correct + decode in ONE Python pass.
+    tagger='rule' (default) or 'probe' (trained model; needs weights_path)."""
     from scikg_spark.core.correct import correct_tags
     from scikg_spark.core.tagger import rule_tag
 
+    if tagger == "probe" and weights_path is None:
+        raise ValueError("probe tagger needs a trained weights_path")
+    if tagger not in ("rule", "probe"):
+        raise ValueError(f"unknown fused tagger {tagger!r}")
+
     def gen(batches):
+        probe = None
+        if tagger == "probe":
+            from scikg_spark.core.neural import ProbeTagger
+
+            probe = ProbeTagger.load(weights_path)
         for pdf in batches:
+            if not len(pdf):
+                continue
+            words_col = [list(w) for w in pdf["words"]]
+            pos_col = [list(p) for p in pdf["postags"]]
+            caps_col = [list(c) for c in pdf["caps"]]
+            if probe is not None:
+                tag_pairs = probe.predict_tags(words_col, pos_col, caps_col)
+            else:
+                tag_pairs = [rule_tag(w, p, c)
+                             for w, p, c in zip(words_col, pos_col, caps_col)]
             rows = []
-            for url, doc_id, stmt_id, words, postags, caps in zip(
+            for url, doc_id, stmt_id, words, postags, (ft, ct) in zip(
                     pdf["url"], pdf["doc_id"], pdf["stmt_id"],
-                    pdf["words"], pdf["postags"], pdf["caps"]):
-                words, postags, caps = list(words), list(postags), list(caps)
-                ft, ct = rule_tag(words, postags, caps)
+                    words_col, pos_col, tag_pairs):
                 if ar is not None or use_tc or use_tcdel or use_sh or use_del:
                     res = correct_tags(
                         ft, ct, [w.lower() for w in words], postags,
