@@ -285,6 +285,26 @@ class MimoEnsemble:
         return results
 
 
+def _weighted_nll_grad(X, W, y, wts, wd, clip):
+    """Weighted NLL loss + clipped gradient for one linear head (shared by
+    HeadTrainer and ProbeTagger; reference hyperparameter shape
+    utils.py:2938-2955)."""
+    logp = _log_softmax(X @ W)
+    p = np.exp(logp)
+    n = len(y)
+    sw = wts[y]
+    denom = max(sw.sum(), 1e-9)
+    loss = float(-(sw * logp[np.arange(n), y]).sum() / denom)
+    d = p.copy()
+    d[np.arange(n), y] -= 1.0
+    d *= (sw / denom)[:, None]
+    g = X.T @ d + wd * W
+    gn = np.linalg.norm(g)
+    if gn > clip:
+        g = g * (clip / gn)
+    return loss, g
+
+
 class HeadTrainer:
     """M6-lite: the reference's weighted-NLL training step (class weights
     1000/freq, SGD lr=0.01 wd=5e-4 momentum=0.9, grad-clip 5 — utils.py:2888-2955,
@@ -353,27 +373,13 @@ class HeadTrainer:
         if w_cond is None:
             w_cond = np.ones(N_TAGS, dtype=np.float32)
 
-        def head_grad(W, extra, y, wts):
-            X = H if extra is None else np.concatenate([H, extra], axis=1)
-            logp = _log_softmax(X @ W)
-            p = np.exp(logp)
-            n = len(y)
-            sample_w = wts[y]
-            loss = -(sample_w * logp[np.arange(n), y]).sum() / max(sample_w.sum(), 1e-9)
-            d = p.copy()
-            d[np.arange(n), y] -= 1.0
-            d *= (sample_w / max(sample_w.sum(), 1e-9))[:, None]
-            g = X.T @ d + self.wd * W
-            gn = np.linalg.norm(g)
-            if gn > self.clip:
-                g = g * (self.clip / gn)
-            return loss, g
-
-        loss_f, g_f = head_grad(m.head_fact, None, yf, w_fact)
-        extra = None
+        loss_f, g_f = _weighted_nll_grad(
+            H, m.head_fact, yf, w_fact, self.wd, self.clip)
+        Xc = H
         if m.enhance:
-            extra = np.exp(_log_softmax(H @ m.head_fact))
-        loss_c, g_c = head_grad(m.head_cond, extra, yc, w_cond)
+            Xc = np.concatenate([H, np.exp(_log_softmax(H @ m.head_fact))], axis=1)
+        loss_c, g_c = _weighted_nll_grad(
+            Xc, m.head_cond, yc, w_cond, self.wd, self.clip)
 
         self.vel_f = self.mom * self.vel_f - self.lr * g_f
         self.vel_c = self.mom * self.vel_c - self.lr * g_c
@@ -407,30 +413,55 @@ def save_weights(model: MimoTagger, path: str) -> None:
     np.savez_compressed(path, **_collect_params(model))
 
 
-def load_weights(model: MimoTagger, path: str) -> MimoTagger:
-    """Load parameters in place; the checkpoint's feature-config flags must
-    match the constructor config (a silent hybrid of trained heads over the
-    wrong feature gates would be garbage with no error)."""
-    data = np.load(path)
-    saved_flags = data["flags"].tolist()
-    model_flags = [int(model.use_lm), int(model.use_pos), int(model.use_cap),
-                   int(model.enhance)]
-    if saved_flags != model_flags:
-        raise ValueError(
-            f"checkpoint config flags {saved_flags} (use_lm, use_pos, use_cap, "
-            f"enhance) do not match the model's {model_flags}")
+def _assign_params(model: MimoTagger, data) -> MimoTagger:
+    """Strict parameter walk: every parameter of ``model`` must be present in
+    ``data`` with the exact shape."""
     for key, current in _collect_params(model).items():
         if key == "flags":
             continue
+        if key not in data:
+            raise ValueError(f"checkpoint is missing parameter {key!r}")
         loaded = data[key]
-        assert loaded.shape == current.shape, (key, loaded.shape, current.shape)
-        obj = model
-        attr = key
+        if loaded.shape != current.shape:
+            raise ValueError(
+                f"checkpoint parameter {key!r} has shape {loaded.shape}, "
+                f"model expects {current.shape}")
+        obj, attr = model, key
         if "." in key:
             head, attr = key.split(".")
             obj = getattr(model, head)
         setattr(obj, attr, loaded.astype(np.float32))
     return model
+
+
+def _check_flags(model: MimoTagger, data) -> None:
+    saved = data["flags"].tolist()
+    mine = [int(model.use_lm), int(model.use_pos), int(model.use_cap),
+            int(model.enhance)]
+    if saved != mine:
+        raise ValueError(
+            f"checkpoint config flags {saved} (use_lm, use_pos, use_cap, "
+            f"enhance) do not match the model's {mine}")
+
+
+def tagger_from_weights(path_or_data) -> MimoTagger:
+    """Construct a MimoTagger CONFIGURED FROM the checkpoint's own saved
+    flags and load its parameters — no silent hybrid models, no need for the
+    caller to know the training config."""
+    data = np.load(path_or_data) if isinstance(path_or_data, str) else path_or_data
+    lm, pos, cap, enhance = (bool(int(b)) for b in data["flags"].tolist())
+    model = MimoTagger(use_lm=lm, use_pos=pos, use_cap=cap, enhance=enhance)
+    return _assign_params(model, data)
+
+
+def load_weights(model: MimoTagger, path: str) -> MimoTagger:
+    """Load parameters in place; the checkpoint's feature-config flags must
+    match the constructor config (a silent hybrid of trained heads over the
+    wrong feature gates would be garbage with no error). Callers that don't
+    know the training config should use :func:`tagger_from_weights`."""
+    data = np.load(path)
+    _check_flags(model, data)
+    return _assign_params(model, data)
 
 
 def parse_model_config(checkpoint_name: str) -> dict:
@@ -505,14 +536,26 @@ class ProbeTagger:
 
     # -- predict --------------------------------------------------------------
     def predict_tags(self, batch_words, batch_pos, batch_cap):
-        results = []
-        feats = self._features(batch_words, batch_pos, batch_cap)
-        for X in feats:
-            f_ids = (X @ self.head_fact).argmax(axis=1)
-            c_ids = (X @ self.head_cond).argmax(axis=1)
-            results.append((
-                [FACT_TAGS[j] for j in f_ids],
-                [COND_TAGS[j] for j in c_ids]))
+        """Length-sorted micro-batches (same discipline as MimoTagger,
+        O1/O2): bounds padded-array memory per worker regardless of the Arrow
+        chunk size feeding this call."""
+        order = sorted(range(len(batch_words)),
+                       key=lambda i: len(batch_words[i]), reverse=True)
+        results: list = [None] * len(batch_words)
+        micro = self.base.batch_size
+        for s in range(0, len(order), micro):
+            idx = order[s:s + micro]
+            feats = self._features(
+                [batch_words[i] for i in idx],
+                [batch_pos[i] for i in idx],
+                [batch_cap[i] for i in idx])
+            for k, i in enumerate(idx):
+                X = feats[k]
+                f_ids = (X @ self.head_fact).argmax(axis=1)
+                c_ids = (X @ self.head_cond).argmax(axis=1)
+                results[i] = (
+                    [FACT_TAGS[j] for j in f_ids],
+                    [COND_TAGS[j] for j in c_ids])
         return results
 
     # -- train ----------------------------------------------------------------
@@ -520,7 +563,6 @@ class ProbeTagger:
                    w_fact=None, w_cond=None, lr=0.3, wd=5e-4, clip=5.0):
         if not hasattr(self, "_vel"):
             self._vel = {}
-        _state = self._vel
         feats = self._features(words, pos, cap)
         X = np.concatenate(feats, axis=0)
         yf = np.asarray([t for seq in fact_ids for t in seq])
@@ -532,21 +574,11 @@ class ProbeTagger:
         losses = []
         for name, W, y, wts in (("f", self.head_fact, yf, w_fact),
                                 ("c", self.head_cond, yc, w_cond)):
-            logp = _log_softmax(X @ W)
-            p = np.exp(logp)
-            sw = wts[y]
-            denom = max(sw.sum(), 1e-9)
-            losses.append(float(-(sw * logp[np.arange(len(y)), y]).sum() / denom))
-            d = p.copy()
-            d[np.arange(len(y)), y] -= 1.0
-            d *= (sw / denom)[:, None]
-            g = X.T @ d + wd * W
-            gn = np.linalg.norm(g)
-            if gn > clip:
-                g *= clip / gn
-            vel = _state.get(name)
+            loss, g = _weighted_nll_grad(X, W, y, wts, wd, clip)
+            losses.append(loss)
+            vel = self._vel.get(name)
             vel = (0.9 * vel - lr * g) if vel is not None else (-lr * g)
-            _state[name] = vel
+            self._vel[name] = vel
             if name == "f":
                 self.head_fact = W + vel
             else:
@@ -560,22 +592,11 @@ class ProbeTagger:
                             **_collect_params(self.base))
 
     @classmethod
-    def load(cls, path: str, seed: int = 824) -> "ProbeTagger":
+    def load(cls, path: str) -> "ProbeTagger":
+        """Reconstructs the frozen base FROM the checkpoint's saved flags —
+        a probe trained over a differently-configured base loads exactly."""
         data = np.load(path)
-        probe = cls(seed=seed)
-        load_weights_from_npz(probe.base, data)
+        probe = cls(base=tagger_from_weights(data))
         probe.head_fact = data["probe_head_fact"].astype(np.float32)
         probe.head_cond = data["probe_head_cond"].astype(np.float32)
         return probe
-
-
-def load_weights_from_npz(model: MimoTagger, data) -> MimoTagger:
-    for key, current in _collect_params(model).items():
-        if key == "flags" or key not in data:
-            continue
-        obj, attr = model, key
-        if "." in key:
-            head, attr = key.split(".")
-            obj = getattr(model, head)
-        setattr(obj, attr, data[key].astype(np.float32))
-    return model

@@ -134,8 +134,8 @@ def main(argv=None):
         "final_loss_cond": round(loss_c, 4),
         "holdout_token_acc_before": round(acc0, 4),
         "holdout_token_acc_after": round(acc1, 4),
-        "holdout_triple_precision": round(p_sum / n_scored, 4),
-        "holdout_triple_recall": round(r_sum / n_scored, 4),
+        "holdout_triple_precision": round(p_sum / max(n_scored, 1), 4),
+        "holdout_triple_recall": round(r_sum / max(n_scored, 1), 4),
         "train_sec": round(time.time() - t0, 1),
         "weights": args.out,
     }))

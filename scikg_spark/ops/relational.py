@@ -124,6 +124,7 @@ ORACLE = {
     "q_event_type_overlap": """
         WITH counts AS (
             SELECT event_type, count(*) AS c FROM events
+            WHERE user_id IS NOT NULL
             GROUP BY 1 ORDER BY c DESC, event_type ASC
         ),
         tops AS (SELECT event_type, row_number() OVER (ORDER BY c DESC, event_type ASC) AS r

@@ -169,14 +169,18 @@ def q_winnow_fingerprints(spark, sf_dir, k: int = 8, window: int = 4):
     docs = _docs(spark, sf_dir).filter(F.col("n_chars") >= k + window)
     hashes = docs.select(
         "doc_id",
+        F.expr(f"length(text) - {k} + 1").alias("max_pos"),
         F.explode(F.expr(
             f"transform(sequence(1, length(text) - {k} + 1), i -> "
             f"named_struct('pos', i, 'h', {_rolling_hash_expr(k)}))")).alias("g"),
-    ).select("doc_id", "g.pos", "g.h")
+    ).select("doc_id", "max_pos", "g.pos", "g.h")
     w = (W.partitionBy("doc_id").orderBy("pos")
          .rowsBetween(0, window - 1))
     return (
         hashes.withColumn("fp", F.min("h").over(w))
+        # true winnowing: only FULL windows select a fingerprint (truncated
+        # trailing frames would always select the final k-gram)
+        .filter(F.col("pos") <= F.col("max_pos") - window + 1)
         .select("doc_id", "fp")
         .distinct()
     )
@@ -184,16 +188,17 @@ def q_winnow_fingerprints(spark, sf_dir, k: int = 8, window: int = 4):
 
 ORACLE["q_winnow_fingerprints"] = f"""
     WITH hashes AS (
-        SELECT doc_id, i AS pos,
+        SELECT doc_id, i AS pos, length(text) - 8 + 1 AS max_pos,
                {_rolling_hash_expr().replace('i +', 'i +')} AS h
         FROM documents, unnest(generate_series(1, length(text) - 8 + 1)) AS t(i)
         WHERE n_chars >= 12
     ),
     winnowed AS (
-        SELECT doc_id,
+        SELECT doc_id, pos, max_pos,
                min(h) OVER (PARTITION BY doc_id ORDER BY pos
                             ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
         FROM hashes
     )
     SELECT DISTINCT doc_id, fp FROM winnowed
+    WHERE pos <= max_pos - 4 + 1
 """

@@ -84,14 +84,15 @@ def tag_statements(
             # built once per Python worker; in production the weight dict is
             # an sc.broadcast and this constructor loads from it
             from scikg_spark.core.neural import (
-                MimoEnsemble, MimoTagger, ProbeTagger, load_weights)
+                MimoEnsemble, MimoTagger, ProbeTagger, tagger_from_weights)
 
             if mode == "probe":
                 model = ProbeTagger.load(weights_path)
+            elif mode == "neural" and weights_path is not None:
+                # the checkpoint's own flags decide the model config
+                model = tagger_from_weights(weights_path)
             else:
                 model = MimoEnsemble() if mode == "ensemble" else MimoTagger()
-                if weights_path is not None:
-                    load_weights(model, weights_path)
             for pdf in batches:
                 if not len(pdf):
                     continue

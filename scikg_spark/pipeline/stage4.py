@@ -173,6 +173,12 @@ class PartitionedIncrementalWriter:
         pending = self.pending_input(df)
         values = [r[0] for r in
                   pending.select(self.partition_col).distinct().collect()]
+        if any(v is None or str(v) == "" for v in values):
+            # Spark maps these to the __HIVE_DEFAULT_PARTITION__ sentinel,
+            # which the string anti-join can never match -> endless recompute
+            raise ValueError(
+                f"partition column {self.partition_col!r} contains null/empty "
+                f"values; filter or default them before incremental writes")
         values.sort(key=str)
         if max_new is not None:
             values = values[:max_new]
@@ -205,19 +211,27 @@ class PartitionedIncrementalWriter:
 
 
 def verify_snapshot(catalog: SnapshotCatalog, table: str) -> dict:
-    """Re-derive the per-partition lineage of a committed snapshot and
-    compare against the manifest — detects on-disk corruption or a manifest
-    out of sync with its data. Returns {'ok': bool, 'expected', 'actual'}."""
+    """Re-derive lineage for a committed snapshot and compare the
+    partitioning-INDEPENDENT invariants against the manifest: total rows and
+    the global xor of row checksums (xor is associative, so the fold over
+    per-partition checksums is stable under any re-read split planning).
+    Detects on-disk corruption or a manifest out of sync with its data."""
     manifest = catalog.manifest(table)
     if not manifest or manifest.get("status") != "committed":
         return {"ok": False, "error": "no committed snapshot"}
-    actual = catalog._partition_lineage(catalog.read(table))
     expected = manifest["lineage"]
-    exp_rows = sum(p["rows"] for p in expected)
-    act_rows = sum(p["rows"] for p in actual)
-    # partition ids can differ after a re-read (task scheduling); compare the
-    # multiset of (rows, checksum) pairs plus totals
-    exp_set = sorted((p["rows"], p["checksum"]) for p in expected)
-    act_set = sorted((p["rows"], p["checksum"]) for p in actual)
-    return {"ok": exp_rows == act_rows and exp_set == act_set,
+    if not expected:
+        return {"ok": False, "error": "snapshot was written with_lineage=False"}
+    actual = catalog._partition_lineage(catalog.read(table))
+
+    def fold(parts):
+        rows = sum(p["rows"] for p in parts)
+        xor = 0
+        for p in parts:
+            xor ^= int(p["checksum"]) & (2**64 - 1)
+        return rows, xor
+
+    exp_rows, exp_xor = fold(expected)
+    act_rows, act_xor = fold(actual)
+    return {"ok": exp_rows == act_rows and exp_xor == act_xor,
             "rows_expected": exp_rows, "rows_actual": act_rows}

@@ -172,3 +172,29 @@ class TestProbeTagger:
         stmts = extract_statements(build_pages_from_documents(docs))
         with pytest.raises(ValueError, match="probe mode"):
             tag_statements(stmts, mode="probe")
+
+
+class TestCheckpointConfigRoundtrip:
+    def test_nondefault_flags_roundtrip_via_tagger_from_weights(self, tmp_path):
+        from scikg_spark.core.neural import (
+            MimoTagger, save_weights, tagger_from_weights)
+
+        src = MimoTagger(seed=3, use_lm=True, use_pos=False, enhance=False)
+        path = str(tmp_path / "w.npz")
+        save_weights(src, path)
+        loaded = tagger_from_weights(path)
+        assert loaded.use_lm and not loaded.use_pos and not loaded.enhance
+        stmts = ([["a", "b"]], [["NN", "VBZ"]], [["B-C", "B-P"]])
+        assert src.predict_tags(*stmts) == loaded.predict_tags(*stmts)
+
+    def test_probe_load_rebuilds_base_from_flags(self, tmp_path):
+        from scikg_spark.core.neural import MimoTagger, ProbeTagger
+
+        probe = ProbeTagger(base=MimoTagger(seed=2, use_lm=True, use_pos=False))
+        stmts = ([["x", "y", "z"]], [["NN", "IN", "NN"]], [["B-C", "B-P", "B-C"]])
+        probe.train_step(*stmts, [[1, 2, 3]], [[1, 2, 3]])
+        path = str(tmp_path / "p.npz")
+        probe.save(path)
+        loaded = ProbeTagger.load(path)
+        assert loaded.base.use_lm and not loaded.base.use_pos
+        assert probe.predict_tags(*stmts) == loaded.predict_tags(*stmts)
