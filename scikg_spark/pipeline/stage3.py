@@ -205,6 +205,77 @@ def synonym_phrase_edges(phrases: DataFrame, synonyms: DataFrame) -> DataFrame:
     )
 
 
+def connected_components_star(edges: DataFrame, vertices: DataFrame,
+                              max_iter: int = 25) -> DataFrame:
+    """Alternating large-star / small-star connected components
+    (Kiveris et al., "Connected Components in MapReduce and Beyond"):
+    converges in O(log n) ROUNDS regardless of component diameter — the
+    scale-path alternative to hash-min propagation for deep components
+    (near-duplicate chains at web scale).
+
+    large-star: for each node u, connect every neighbor v > u to
+    m = min(N(u) ∪ {u}); small-star: connect every neighbor v <= u (and u)
+    to m. Edges converge to a star around each component's minimum.
+    Returns (id, comp) like :func:`connected_components`.
+    """
+    cur = edges.filter(F.col("src") != F.col("dst")).select(
+        F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+    ).distinct().localCheckpoint()
+
+    def neighborhoods(e):
+        # symmetric adjacency (u, v)
+        return e.union(e.select(F.col("dst").alias("src"),
+                                F.col("src").alias("dst")))
+
+    converged = False
+    for _ in range(max_iter):
+        adj = neighborhoods(cur)
+        # m(u) = min over N(u) ∪ {u}
+        m = adj.groupBy("src").agg(
+            F.least(F.min("dst"), F.first("src")).alias("m"))
+        # large-star: (v, m(u)) for v in N(u), v > u
+        large = (
+            adj.join(m, "src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("a"), F.col("m").alias("b"))
+        )
+        # small-star: (v, m(u)) for v in N(u) with v <= u, plus (u, m(u))
+        small = (
+            adj.join(m, "src")
+            .filter(F.col("dst") <= F.col("src"))
+            .select(F.col("dst").alias("a"), F.col("m").alias("b"))
+            .union(m.select(F.col("src").alias("a"), F.col("m").alias("b")))
+        )
+        nxt = (
+            large.union(small)
+            .filter(F.col("a") != F.col("b"))
+            .select(F.least("a", "b").alias("src"),
+                    F.greatest("a", "b").alias("dst"))
+            .distinct()
+            .localCheckpoint()
+        )
+        # converged when the edge set is stable (stars reached)
+        if nxt.count() == cur.count() and nxt.exceptAll(cur).limit(1).count() == 0:
+            cur = nxt
+            converged = True
+            break
+        cur = nxt
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"connected_components_star did not stabilize in {max_iter} "
+            f"rounds", RuntimeWarning, stacklevel=2)
+    # cur is a star forest: dst -> src(min). comp(v) = min partner; roots map
+    # to themselves; isolated vertices map to themselves.
+    comp_edges = cur.select(F.col("dst").alias("id"), F.col("src").alias("comp"))
+    comp_edges = comp_edges.groupBy("id").agg(F.min("comp").alias("comp"))
+    return (
+        vertices.join(comp_edges, "id", "left")
+        .select("id", F.coalesce("comp", "id").alias("comp"))
+    )
+
+
 def link_entities(tuples: DataFrame, lsh_threshold: float = 0.8,
                   use_lsh: bool = True,
                   synonyms: DataFrame | None = None) -> tuple[DataFrame, DataFrame]:
