@@ -65,6 +65,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_supplier_balance_rank": relational.q_supplier_balance_rank,
         "q_asof_event_order": relational.q_asof_event_order,
         "q_lineitem_rollup": relational.q_lineitem_rollup,
+        "q_customers_without_orders": relational.q_customers_without_orders,
+        "q_active_customers": relational.q_active_customers,
         # text analysis
         "q_token_counts": text.q_token_counts,
         "q_quality": text.q_quality,

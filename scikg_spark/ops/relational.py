@@ -334,3 +334,39 @@ ORACLE["q_lineitem_rollup"] = """
            CAST(grouping(l_linestatus) AS BIGINT) AS g2
     FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
 """
+
+
+def q_customers_without_orders(spark, sf_dir):
+    """ANTI-join coverage: customers having no orders at all."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+def q_active_customers(spark, sf_dir):
+    """SEMI-join coverage: customers with at least one order above 1000."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_totalprice") > 1000.0)
+    return (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left_semi")
+        .select("c_custkey", "c_mktsegment", F.round("c_acctbal", 2).alias("balance"))
+    )
+
+
+ORACLE.update({
+    "q_customers_without_orders": """
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+    "q_active_customers": """
+        SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) AS balance
+        FROM customer
+        WHERE c_custkey IN (SELECT o_custkey FROM orders
+                            WHERE o_totalprice > 1000.0)
+    """,
+})
