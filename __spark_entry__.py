@@ -101,9 +101,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from scikg_spark.ops import dedup, relational, similarity, text
+    from scikg_spark.ops import dedup, multimodal, relational, similarity, text
 
     out: dict[str, str] = {}
-    for module in (relational, text, dedup, similarity):
+    for module in (relational, text, dedup, similarity, multimodal):
         out.update(module.ORACLE)
     return out

@@ -11,7 +11,10 @@
 
 Scale notes: all pair generation goes through explode + equi-join on a
 blocking key (band / bucket+bigram) — never a cross join; bucket widths are
-bounded by the group-by-count guard so a hot shingle cannot explode."""
+bounded by the group-by-count guard (``_MAX_BUCKET``, same pattern as
+stage3.lsh_candidate_pairs) so a hot band key / stop-bigram cannot explode
+into O(n^2) pairs. The DuckDB oracles carry the identical cap, so the duels
+check the capped semantics."""
 
 from __future__ import annotations
 
@@ -19,6 +22,8 @@ from pyspark.sql import functions as F
 
 _N_HASHES = 8
 _BAND_SIZE = 2
+# a blocking key seen in more than this many docs is dropped, not self-joined
+_MAX_BUCKET = 64
 
 
 def _docs(spark, sf_dir):
@@ -63,8 +68,14 @@ def q_minhash_dup_pairs(spark, sf_dir):
         sig.select("doc_id", F.explode(F.array(*bands)).alias("bk"))
         .select("doc_id", "bk.band", "bk.key")
     )
-    left = banded.select("band", "key", F.col("doc_id").alias("doc_a"))
-    right = banded.select("band", "key", F.col("doc_id").alias("doc_b"))
+    # bucket cap: a hot band key (boilerplate-heavy shingles) is dropped, not
+    # exploded quadratically — same guard as stage3.lsh_candidate_pairs
+    capped = banded.join(
+        banded.groupBy("band", "key").count()
+        .filter(F.col("count") <= _MAX_BUCKET).select("band", "key"),
+        ["band", "key"])
+    left = capped.select("band", "key", F.col("doc_id").alias("doc_a"))
+    right = capped.select("band", "key", F.col("doc_id").alias("doc_b"))
     return (
         left.join(right, ["band", "key"])
         .filter(F.col("doc_a") < F.col("doc_b"))
@@ -84,8 +95,15 @@ def q_ngram_jaccard_pairs(spark, sf_dir, threshold: float = 0.5):
         .distinct()
     )
     sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
-    a = grams.select("lang", "source", F.col("doc_id").alias("doc_a"), "gram")
-    b = grams.select("lang", "source", F.col("doc_id").alias("doc_b"), "gram")
+    # hot-gram cap: a stop-bigram present in > _MAX_BUCKET docs of one
+    # (lang, source) block is excluded from PAIR GENERATION (union sizes stay
+    # exact — computed from the uncapped grams above); mirrored in the oracle
+    capped = grams.join(
+        grams.groupBy("lang", "source", "gram").count()
+        .filter(F.col("count") <= _MAX_BUCKET).select("lang", "source", "gram"),
+        ["lang", "source", "gram"])
+    a = capped.select("lang", "source", F.col("doc_id").alias("doc_a"), "gram")
+    b = capped.select("lang", "source", F.col("doc_id").alias("doc_b"), "gram")
     inter = (
         a.join(b, ["lang", "source", "gram"])
         .filter(F.col("doc_a") < F.col("doc_b"))
@@ -167,9 +185,15 @@ ORACLE = {
                 f"SELECT doc_id, {b} AS band, "
                 f"h{b * _BAND_SIZE} || '|' || h{b * _BAND_SIZE + 1} AS key FROM sig"
                 for b in range(_N_HASHES // _BAND_SIZE))}
+        ),
+        kept AS (
+            SELECT bd.* FROM banded bd
+            JOIN (SELECT band, key FROM banded GROUP BY band, key
+                  HAVING count(*) <= {_MAX_BUCKET}) cap
+              ON bd.band = cap.band AND bd.key = cap.key
         )
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM banded a JOIN banded b
+        FROM kept a JOIN kept b
           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
     """,
     "q_ngram_jaccard_pairs": f"""
@@ -179,9 +203,16 @@ ORACLE = {
             FROM documents WHERE len(string_split(text, ' ')) >= 2
         ),
         sizes AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id),
+        kept AS (
+            SELECT g.* FROM grams g
+            JOIN (SELECT lang, source, gram FROM grams GROUP BY 1, 2, 3
+                  HAVING count(*) <= {_MAX_BUCKET}) cap
+              ON g.lang = cap.lang AND g.source = cap.source
+             AND g.gram = cap.gram
+        ),
         inter AS (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-            FROM grams a JOIN grams b
+            FROM kept a JOIN kept b
               ON a.lang = b.lang AND a.source = b.source
              AND a.gram = b.gram AND a.doc_id < b.doc_id
             GROUP BY 1, 2

@@ -138,6 +138,94 @@ def sample_frames(media: DataFrame, every: int = 4) -> DataFrame:
 
 
 def q_media_features(spark, sf_dir):
-    """Driver-contract query: synth media -> decode -> features (rows-only)."""
+    """Driver-contract query: synth media -> decode -> features.
+
+    Scalar-only output (the duel harness canonicalizes by sorting/hashing
+    column values, so array columns are flattened: histogram -> csv string,
+    mean -> round(4)). Every column is oracle-checked: the fake container is
+    md5-derived, so DuckDB can reproduce width/height/n_bytes/mean/histogram
+    from doc_id with the same instr-based hex-digit math as the SimHash duel.
+    """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return extract_features(build_media_table(docs)).orderBy("doc_id", "kind")
+    feats = extract_features(build_media_table(docs))
+    return feats.select(
+        "doc_id", "kind",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        F.round("mean_val", 4).alias("mean_r"),
+        F.expr("array_join(transform(histogram, x -> cast(x as string)), ',')")
+        .alias("hist_csv"),
+    ).orderBy("doc_id", "kind")
+
+
+# DuckDB mirror of _fake_payload + extract_features: md5(kind:doc_id) digest
+# bytes -> dims -> body bytes (digest repeated cyclically) -> mean + 16-bin
+# byte histogram. body_len <= 31*31, so the per-row series stays tiny.
+# Digest byte j comes from hex digits 2j+1 / 2j+2 of the md5 string via the
+# same instr math as dedup._simhash_bit_expr.
+ORACLE = {
+    "q_media_features": """
+        WITH media AS (
+            SELECT doc_id, kind, md5(kind || ':' || doc_id) AS hx
+            FROM documents
+            CROSS JOIN (SELECT unnest(['image', 'audio']) AS kind)
+        ),
+        bytes AS (
+            SELECT doc_id, kind, j.i AS j,
+                   (instr('0123456789abcdef', substring(hx, 2 * j.i + 1, 1)) - 1) * 16
+                   + (instr('0123456789abcdef', substring(hx, 2 * j.i + 2, 1)) - 1)
+                       AS b
+            FROM media CROSS JOIN generate_series(0, 15) AS j(i)
+        ),
+        dims AS (
+            SELECT m.doc_id, m.kind,
+                   8 + b0.b % 24 AS width,
+                   CASE WHEN m.kind = 'image' THEN 8 + b1.b % 24
+                        ELSE 160 END AS height
+            FROM media m
+            JOIN bytes b0 ON b0.doc_id = m.doc_id AND b0.kind = m.kind AND b0.j = 0
+            JOIN bytes b1 ON b1.doc_id = m.doc_id AND b1.kind = m.kind AND b1.j = 1
+        ),
+        sized AS (
+            SELECT *, CASE WHEN kind = 'image' THEN width * height
+                           ELSE width END AS n_bytes
+            FROM dims
+        ),
+        body AS (
+            SELECT s.doc_id, s.kind, s.width, s.height, s.n_bytes, by.b AS byte
+            FROM sized s
+            CROSS JOIN generate_series(0, 31 * 31 - 1) AS g(i)
+            JOIN bytes by ON by.doc_id = s.doc_id AND by.kind = s.kind
+                         AND by.j = g.i % 16
+            WHERE g.i < s.n_bytes
+        ),
+        stats AS (
+            SELECT doc_id, kind, width, height, n_bytes,
+                   round(sum(byte) * 1.0 / n_bytes, 4) AS mean_r
+            FROM body GROUP BY 1, 2, 3, 4, 5
+        ),
+        hist_counts AS (
+            SELECT doc_id, kind, byte // 16 AS bin, count(*) AS cnt
+            FROM body GROUP BY 1, 2, 3
+        ),
+        hist AS (
+            SELECT d.doc_id, d.kind,
+                   string_agg(CAST(coalesce(hc.cnt, 0) AS VARCHAR), ','
+                              ORDER BY bn.bin) AS hist_csv
+            FROM dims d
+            CROSS JOIN generate_series(0, 15) AS bn(bin)
+            LEFT JOIN hist_counts hc
+                   ON hc.doc_id = d.doc_id AND hc.kind = d.kind
+                  AND hc.bin = bn.bin
+            GROUP BY 1, 2
+        )
+        SELECT s.doc_id AS doc_id, s.kind AS kind,
+               CAST(s.width AS BIGINT) AS width,
+               CAST(s.height AS BIGINT) AS height,
+               CAST(s.n_bytes AS BIGINT) AS n_bytes,
+               s.mean_r, h.hist_csv
+        FROM stats s
+        JOIN hist h ON h.doc_id = s.doc_id AND h.kind = s.kind
+    """,
+}

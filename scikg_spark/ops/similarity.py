@@ -2,26 +2,50 @@
 label)``.
 
 Baseline: brute-force cosine with JVM-side array math (``aggregate`` +
-``zip_with`` — no Python in the hot path). Scale path: LSH-bucketed variant
-(random-hyperplane signs) that turns the O(n^2) pair space into equi-joins on
-bucket keys — the same blocking discipline as stage 3."""
+``zip_with`` — no Python in the hot path). Scale path: random-hyperplane LSH
+that turns the O(n^2) pair space into equi-joins on (table, bucket) keys —
+the same blocking discipline as stage 3 — with a bucket-width cap so a hot
+bucket cannot explode quadratically.
+
+Plane weights derive from xxhash64 of the (table, plane, dim-index) string,
+computed INSIDE the array expression via ``zip_with(embedding, sequence(...))``
+— executors need no shared state and the plan needs no driver-side dim probe
+(no job runs at plan-build time).
+"""
 
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+
+_DOT = ("aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), "
+        "cast(0.0 as double), (acc, v) -> acc + v)")
 
 
 def _emb(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
-_DOT = ("aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), "
-        "cast(0.0 as double), (acc, v) -> acc + v)")
-
-
 def _cosine(a: str, b: str) -> str:
     return (f"{_DOT.format(a=a, b=b)} / "
             f"(sqrt({_DOT.format(a=a, b=a)}) * sqrt({_DOT.format(a=b, b=b)}))")
+
+
+def _plane_dot(p: int, prefix: str = "") -> str:
+    """Dot product of ``embedding`` with pseudo-random plane ``p``: component
+    i is xxhash64('{prefix}plane{p}:{i}') % 1000 / 1000 — dim-agnostic (the
+    index comes from ``sequence(0, size-1)``, so no plan-time dim probe)."""
+    return (
+        "aggregate(zip_with(embedding, sequence(0, size(embedding) - 1), "
+        "(x, i) -> cast(x as double) * "
+        f"(cast(xxhash64(concat('{prefix}plane{p}:', cast(i as string))) % 1000 "
+        "as double) / 1000.0)), cast(0.0 as double), (acc, v) -> acc + v)")
+
+
+def _bucket_col(n_planes: int, prefix: str = ""):
+    """Sign pattern of ``n_planes`` hyperplane dots -> bucket key string."""
+    return F.concat(*[
+        F.when(F.expr(_plane_dot(p, prefix)) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for p in range(n_planes)])
 
 
 def q_embedding_norms(spark, sf_dir):
@@ -34,14 +58,18 @@ def q_embedding_norms(spark, sf_dir):
 
 def q_cosine_topk(spark, sf_dir, n_query: int = 10, k: int = 5):
     """Top-k cosine neighbors for the first ``n_query`` vec_ids (brute force,
-    JVM-side). Deterministic tie-break by neighbor id."""
+    JVM-side). Deterministic tie-break by neighbor id.
+
+    The BROADCAST side is the bounded query set (<= n_query rows); the full
+    embedding table is the streamed/scanned side — at 100x the table the
+    broadcast stays constant-size instead of OOMing the executors.
+    """
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < n_query).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"))
-    pairs = queries.join(
-        F.broadcast(emb.select(F.col("vec_id").alias("n_id"),
-                               F.col("embedding").alias("n_emb"))),
-        F.col("q_id") != F.col("n_id"))
+    neighbors = emb.select(F.col("vec_id").alias("n_id"),
+                           F.col("embedding").alias("n_emb"))
+    pairs = neighbors.join(F.broadcast(queries), F.col("q_id") != F.col("n_id"))
     scored = pairs.select(
         "q_id", "n_id",
         F.expr(_cosine("q_emb", "n_emb")).alias("cos"))
@@ -56,34 +84,85 @@ def q_cosine_topk(spark, sf_dir, n_query: int = 10, k: int = 5):
     )
 
 
+def lsh_bucketed(emb, n_tables: int = 1, n_planes: int = 8):
+    """(vec_id, tbl, bucket) rows: each vector lands in one bucket per hash
+    table. Multiple tables = OR-amplified recall for candidate generation."""
+    tables = [
+        F.struct(F.lit(t).alias("tbl"),
+                 _bucket_col(n_planes, f"t{t}:" if n_tables > 1 else "")
+                 .alias("bucket"))
+        for t in range(n_tables)]
+    return (
+        emb.select("vec_id", F.explode(F.array(*tables)).alias("tb"))
+        .select("vec_id", "tb.tbl", "tb.bucket")
+    )
+
+
 def q_ann_lsh_buckets(spark, sf_dir, n_planes: int = 8):
-    """Random-hyperplane LSH: sign pattern of dot products with ``n_planes``
-    deterministic pseudo-random planes -> bucket key. Plane components derive
-    from xxhash64(plane, dim) so executors need no shared state. Rows-only
-    check (not SQL-expressible without the same hash function)."""
-    emb = _emb(spark, sf_dir)
-    first = emb.select("embedding").head()
-    if first is None or first["embedding"] is None:
-        # empty table: keep the output schema without crashing (the dim probe
-        # is an eager one-row job by design — documented cost)
-        return spark.createDataFrame([], "bucket string, n_vecs bigint")
-    dim = len(first["embedding"])
-    sign_cols = []
-    for p in range(n_planes):
-        terms = " + ".join(
-            f"cast(embedding[{i}] as double) * "
-            f"(cast(xxhash64('plane{p}:{i}') % 1000 as double) / 1000.0)"
-            for i in range(dim))
-        sign_cols.append(
-            F.when(F.expr(terms) >= 0, F.lit("1")).otherwise(F.lit("0")))
-    bucketed = emb.select(
-        "vec_id", "label", F.concat(*sign_cols).alias("bucket"))
+    """Random-hyperplane LSH bucket histogram (buckets holding >1 vector).
+    Rows-only check (not SQL-expressible without the same hash function)."""
+    bucketed = lsh_bucketed(_emb(spark, sf_dir), n_tables=1, n_planes=n_planes)
     return (
         bucketed.groupBy("bucket")
-        .agg(F.count("*").alias("n_vecs"),
-             F.sort_array(F.collect_list("vec_id")).alias("vec_ids"))
+        .agg(F.count("*").alias("n_vecs"))
         .filter(F.col("n_vecs") > 1)
         .select("bucket", "n_vecs")
+    )
+
+
+def lsh_candidate_pairs(emb, n_tables: int = 8, n_planes: int = 8,
+                        max_bucket: int = 1024):
+    """Candidate (id_a < id_b) pairs sharing any (table, bucket) — pure
+    equi-joins; hot buckets wider than ``max_bucket`` are dropped, not
+    self-joined (the stage-3 cap pattern)."""
+    bucketed = lsh_bucketed(emb, n_tables=n_tables, n_planes=n_planes)
+    capped = bucketed.join(
+        bucketed.groupBy("tbl", "bucket").count()
+        .filter(F.col("count") <= max_bucket).select("tbl", "bucket"),
+        ["tbl", "bucket"])
+    left = capped.select("tbl", "bucket", F.col("vec_id").alias("id_a"))
+    right = capped.select("tbl", "bucket", F.col("vec_id").alias("id_b"))
+    return (
+        left.join(right, ["tbl", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def q_embedding_neardup(spark, sf_dir, threshold: float = 0.95,
+                        n_tables: int = 8, n_planes: int = 8):
+    """Embedding-cosine near-duplicate pairs, LSH-BLOCKED: candidates come
+    from 8 OR-ed hyperplane hash tables (equi-join on (table, bucket)), and
+    only candidates get the exact cosine verification — no non-equi join
+    anywhere in the plan. For cos >= 0.95 a pair agrees on one 8-plane table
+    w.p. >= 0.43, so 8 tables give ~99% recall; the duel's brute-force oracle
+    cross-checks equality at test scale (and
+    tests/test_similarity_lsh.py plants near-identical dups to exercise the
+    non-empty case)."""
+    emb = _emb(spark, sf_dir)
+    cand = lsh_candidate_pairs(emb, n_tables=n_tables, n_planes=n_planes)
+    ea = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    eb = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    return (
+        cand.join(ea, "id_a").join(eb, "id_b")
+        .withColumn("cos", F.expr(_cosine("ea", "eb")))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", F.round("cos", 4).alias("cos_r"))
+    )
+
+
+def embedding_neardup_bruteforce(spark, sf_dir, threshold: float = 0.95):
+    """Exact all-pairs reference for the LSH-blocked query (test/oracle-scale
+    only — the non-equi join is intentionally NOT the registered query)."""
+    emb = _emb(spark, sf_dir)
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", F.expr(_cosine("ea", "eb")))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", F.round("cos", 4).alias("cos_r"))
     )
 
 
@@ -120,40 +199,25 @@ ORACLE = {
         SELECT q_id, n_id, rank, round(cos, 4) AS cos_r
         FROM ranked WHERE rank <= 5
     """,
+    # exact brute force: the LSH-blocked Spark query must reproduce it at
+    # test scale (recall is ~1 for the thresholds/data under duel)
+    "q_embedding_neardup": """
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(
+                 list_dot_product(list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+                                  list_transform(b.embedding, x -> CAST(x AS DOUBLE)))
+                 / (sqrt(list_dot_product(list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+                                          list_transform(a.embedding, x -> CAST(x AS DOUBLE))))
+                    * sqrt(list_dot_product(list_transform(b.embedding, x -> CAST(x AS DOUBLE)),
+                                            list_transform(b.embedding, x -> CAST(x AS DOUBLE))))),
+                 4) AS cos_r
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_dot_product(list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+                               list_transform(b.embedding, x -> CAST(x AS DOUBLE)))
+              / (sqrt(list_dot_product(list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+                                       list_transform(a.embedding, x -> CAST(x AS DOUBLE))))
+                 * sqrt(list_dot_product(list_transform(b.embedding, x -> CAST(x AS DOUBLE)),
+                                         list_transform(b.embedding, x -> CAST(x AS DOUBLE)))))
+              >= 0.95
+    """,
 }
-
-
-def q_embedding_neardup(spark, sf_dir, threshold: float = 0.95):
-    """Embedding-cosine near-duplicate pairs (dedup by vector similarity):
-    all pairs with cosine >= threshold. Brute force at oracle scale; the
-    production path blocks through q_ann_lsh_buckets first."""
-    emb = _emb(spark, sf_dir)
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", F.expr(_cosine("ea", "eb")))
-        .filter(F.col("cos") >= threshold)
-        .select("id_a", "id_b", F.round("cos", 4).alias("cos_r"))
-    )
-
-
-ORACLE["q_embedding_neardup"] = """
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           round(
-             list_dot_product(list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
-                              list_transform(b.embedding, x -> CAST(x AS DOUBLE)))
-             / (sqrt(list_dot_product(list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
-                                      list_transform(a.embedding, x -> CAST(x AS DOUBLE))))
-                * sqrt(list_dot_product(list_transform(b.embedding, x -> CAST(x AS DOUBLE)),
-                                        list_transform(b.embedding, x -> CAST(x AS DOUBLE))))),
-             4) AS cos_r
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE list_dot_product(list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
-                           list_transform(b.embedding, x -> CAST(x AS DOUBLE)))
-          / (sqrt(list_dot_product(list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
-                                   list_transform(a.embedding, x -> CAST(x AS DOUBLE))))
-             * sqrt(list_dot_product(list_transform(b.embedding, x -> CAST(x AS DOUBLE)),
-                                     list_transform(b.embedding, x -> CAST(x AS DOUBLE)))))
-          >= 0.95
-"""

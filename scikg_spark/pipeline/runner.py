@@ -37,9 +37,9 @@ def run_pipeline(
     corrections = corrections or {}
     out: dict[str, DataFrame] = {}
 
-    def stage(name, build, partition_by=()):
+    def stage(name, build, partition_by=(), force=False):
         t0 = time.time()
-        if catalog is not None and resume and catalog.is_complete(name):
+        if catalog is not None and resume and not force and catalog.is_complete(name):
             df = catalog.read(name)
             out[name] = df
             catalog.write_metrics(name, {"resumed": True, "wall_ms": 0})
@@ -69,7 +69,9 @@ def run_pipeline(
     tuples = stage("tuples", build_tuples, partition_by=("kind",))
 
     # stage 3 produces two tables from one computation; resume only when BOTH
-    # are committed, otherwise recompute once and commit both
+    # are committed. Otherwise recompute once and FORCE-commit both — serving
+    # a stale committed half next to a fresh recomputation would make their
+    # mutual consistency depend on upstream bit-determinism.
     both_done = (
         catalog is not None and resume
         and catalog.is_complete("entity_nodes") and catalog.is_complete("entity_map"))
@@ -78,8 +80,8 @@ def run_pipeline(
         phrase_map = stage("entity_map", lambda: None)
     else:
         linked_nodes, linked_map = link_entities(tuples, use_lsh=use_lsh)
-        nodes = stage("entity_nodes", lambda: linked_nodes)
-        phrase_map = stage("entity_map", lambda: linked_map)
+        nodes = stage("entity_nodes", lambda: linked_nodes, force=True)
+        phrase_map = stage("entity_map", lambda: linked_map, force=True)
 
     def build_edges():
         src_map = phrase_map.select(

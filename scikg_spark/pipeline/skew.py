@@ -22,8 +22,14 @@ def salted_join(big: DataFrame, small: DataFrame, key: str,
     scatter across salts, so one hot key spreads over n_salt reducers.
 
     ``small`` must be the smaller side (it is exploded n_salt times) but too
-    big / too skewed to broadcast.
+    big / too skewed to broadcast. Only inner/left are supported: for
+    right/full joins, unmatched small-side rows would surface once per salt
+    replica (n_salt duplicates).
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'/'left' only (got {how!r}): "
+            "replicating the small side would duplicate its unmatched rows")
     other_cols = [c for c in big.columns if c != key]
     salt_src = F.xxhash64(*[F.col(c).cast("string") for c in other_cols]) \
         if other_cols else F.xxhash64(F.col(key).cast("string"))

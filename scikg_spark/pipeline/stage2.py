@@ -70,6 +70,8 @@ def tag_statements(
     elif mode == "rule":
         def gen(batches):
             for pdf in batches:
+                if not len(pdf):
+                    continue  # empty batches degrade list cols to float64 (Arrow)
                 fact_col, cond_col = [], []
                 for words, postags, caps in zip(pdf["words"], pdf["postags"], pdf["caps"]):
                     ft, ct = rule_tag(list(words), list(postags), list(caps))
