@@ -58,14 +58,26 @@ def _log_softmax(x, axis=-1):
     return (x - m) - np.log(e.sum(axis=axis, keepdims=True))
 
 
+_WV_CACHE: dict = {}
+_WV_CACHE_MAX = 200_000  # ~40 MB at dim 50 — bounded per worker
+
+
 def hash_word_vectors(words, dim=WORD_DIM):
     """Deterministic vocab-free word vectors: seed numpy from md5(word).
-    Stand-in for the frozen word2vec matrix (broadcast in production)."""
+    Stand-in for the frozen word2vec matrix (broadcast in production).
+    Memoized per (word, dim) — training revisits the same tokens every epoch
+    and the md5+RandomState derivation is pure."""
     out = np.empty((len(words), dim), dtype=np.float32)
     for i, w in enumerate(words):
-        h = int(hashlib.md5(w.lower().encode()).hexdigest()[:8], 16)
-        rs = np.random.RandomState(h % (2**31 - 1))
-        out[i] = rs.standard_normal(dim).astype(np.float32) * 0.3
+        key = (w.lower(), dim)
+        v = _WV_CACHE.get(key)
+        if v is None:
+            h = int(hashlib.md5(key[0].encode()).hexdigest()[:8], 16)
+            rs = np.random.RandomState(h % (2**31 - 1))
+            v = rs.standard_normal(dim).astype(np.float32) * 0.3
+            if len(_WV_CACHE) < _WV_CACHE_MAX:
+                _WV_CACHE[key] = v
+        out[i] = v
     return out
 
 
@@ -241,11 +253,20 @@ class MimoTagger:
 
 
 class MimoEnsemble:
-    """3 single models (LM / POS / CAP configured) + elementwise combiner
-    (Stmt_Extraction_Net.py:429-480; wiring MIMO_Extractor.py:131-135)."""
+    """Single models + the reference's per-tag combiner
+    (Stmt_Extraction_Net.py:429-480, wiring MIMO_Extractor.py:131-135):
+    y_head = sum_i logp_i * w_head[i] + b_head, then log-softmax — one
+    (n_models, N_TAGS) weight matrix and one (N_TAGS,) bias PER HEAD, trained
+    by core.train_bptt.EnsembleTrainer over frozen singles exactly like
+    train_ensemble.py:1-147.
 
-    def __init__(self, seed=824, batch_size=50):
-        self.models = [
+    Default ``models`` are the reference's 3 single configs (LM / POS / CAP
+    bits, utils.py:2679-2698) with fixture weights; pass trained taggers (or
+    load a checkpoint via :func:`ensemble_from_weights`) for a real ensemble.
+    """
+
+    def __init__(self, seed=824, batch_size=50, models=None):
+        self.models = models if models is not None else [
             MimoTagger(seed=seed + 1, use_lm=True, use_pos=False, use_cap=False,
                        batch_size=batch_size),
             MimoTagger(seed=seed + 2, use_lm=False, use_pos=True, use_cap=False,
@@ -253,10 +274,22 @@ class MimoEnsemble:
             MimoTagger(seed=seed + 3, use_lm=False, use_pos=False, use_cap=True,
                        batch_size=batch_size),
         ]
+        n = len(self.models)
         rng = np.random.default_rng(seed)
-        self.w = (rng.standard_normal(3).astype(np.float32) * 0.1 + 1.0) / 3.0
-        self.b = np.zeros(N_TAGS, dtype=np.float32)
+        # fixture init ~ uniform vote; reference inits torch.randn
+        self.w_fact = (rng.standard_normal((n, N_TAGS)).astype(np.float32)
+                       * 0.05 + 1.0 / n)
+        self.b_fact = np.zeros(N_TAGS, dtype=np.float32)
+        self.w_cond = (rng.standard_normal((n, N_TAGS)).astype(np.float32)
+                       * 0.05 + 1.0 / n)
+        self.b_cond = np.zeros(N_TAGS, dtype=np.float32)
         self.batch_size = batch_size
+
+    def combine(self, flps, clps):
+        """(fact_logp, cond_logp) from per-model log-prob arrays."""
+        yf = sum(lp * self.w_fact[i] for i, lp in enumerate(flps)) + self.b_fact
+        yc = sum(lp * self.w_cond[i] for i, lp in enumerate(clps)) + self.b_cond
+        return _log_softmax(yf), _log_softmax(yc)
 
     def predict_tags(self, batch_words, batch_pos, batch_cap):
         order = sorted(range(len(batch_words)),
@@ -267,14 +300,12 @@ class MimoEnsemble:
             fw = [batch_words[i] for i in idx]
             fp = [batch_pos[i] for i in idx]
             fc = [batch_cap[i] for i in idx]
-            fact = cond = None
-            lens = None
-            for w, m in zip(self.w, self.models):
+            flps, clps, lens = [], [], None
+            for m in self.models:
                 f, c, lens = m.predict_distrib(fw, fp, fc)
-                fact = w * np.exp(f) if fact is None else fact + w * np.exp(f)
-                cond = w * np.exp(c) if cond is None else cond + w * np.exp(c)
-            fact = _log_softmax(np.log(np.maximum(fact + self.b, 1e-9)))
-            cond = _log_softmax(np.log(np.maximum(cond + self.b, 1e-9)))
+                flps.append(f)
+                clps.append(c)
+            fact, cond = self.combine(flps, clps)
             f_ids = fact.argmax(axis=2)
             c_ids = cond.argmax(axis=2)
             for k, i in enumerate(idx):
@@ -283,6 +314,16 @@ class MimoEnsemble:
                     [FACT_TAGS[j] for j in f_ids[k, :n]],
                     [COND_TAGS[j] for j in c_ids[k, :n]])
         return results
+
+    # -- persistence: singles + combiner in one checkpoint ---------------------
+    def save(self, path: str) -> None:
+        blob = {"ens.w_fact": self.w_fact, "ens.b_fact": self.b_fact,
+                "ens.w_cond": self.w_cond, "ens.b_cond": self.b_cond,
+                "ens.n_models": np.array([len(self.models)])}
+        for i, m in enumerate(self.models):
+            for k, v in _collect_params(m).items():
+                blob[f"m{i}.{k}"] = v
+        np.savez_compressed(path, **blob)
 
 
 def _weighted_nll_grad(X, W, y, wts, wd, clip):
@@ -452,6 +493,25 @@ def tagger_from_weights(path_or_data) -> MimoTagger:
     lm, pos, cap, enhance = (bool(int(b)) for b in data["flags"].tolist())
     model = MimoTagger(use_lm=lm, use_pos=pos, use_cap=cap, enhance=enhance)
     return _assign_params(model, data)
+
+
+def ensemble_from_weights(path: str) -> "MimoEnsemble":
+    """Load a MimoEnsemble checkpoint written by MimoEnsemble.save: each
+    single model reconstructs from its own saved flags, the per-tag combiner
+    weights load alongside."""
+    data = np.load(path)
+    n = int(data["ens.n_models"][0])
+    models = []
+    for i in range(n):
+        sub = {k[len(f"m{i}."):]: data[k] for k in data.files
+               if k.startswith(f"m{i}.")}
+        models.append(tagger_from_weights(sub))
+    ens = MimoEnsemble(models=models)
+    ens.w_fact = data["ens.w_fact"].astype(np.float32)
+    ens.b_fact = data["ens.b_fact"].astype(np.float32)
+    ens.w_cond = data["ens.w_cond"].astype(np.float32)
+    ens.b_cond = data["ens.b_cond"].astype(np.float32)
+    return ens
 
 
 def load_weights(model: MimoTagger, path: str) -> MimoTagger:

@@ -4,7 +4,10 @@ self_train/self_train.py:301-329) as one composed Spark job:
   for each of N unlabeled parts:
       1. pseudo-label the part with the CURRENT model
          (bootstrap teacher = the deterministic rule tagger, standing in for
-         the reference's supervised seed model)
+         the reference's supervised seed model). The pass is DISTRIBUTED:
+         predict + corrections run inside the Arrow UDFs on the executors
+         (tag_statements(mode='probe', weights_path=...)); only the
+         surviving labeled rows reach the driver — never the raw corpus
       2. apply the correction/filter chain (AR/TC/SH/DEL flags)
       3. accumulate the surviving pseudo-labels
       4. retrain the probe heads on everything accumulated so far
@@ -94,6 +97,9 @@ def main(argv=None):
                     tot += 1
             return round(hit / max(tot, 1), 4)
 
+        import tempfile
+
+        tmp_weights_dir = tempfile.mkdtemp(prefix="scikg_selftrain_")
         accum = ([], [], [], [], [])
         history = []
         rng = np.random.default_rng(0)
@@ -103,28 +109,22 @@ def main(argv=None):
             # parts after the first are pseudo-labeled by the CURRENT probe;
             # part 1 bootstraps from the rule teacher
             if part == 1:
-                labeled = tag_statements(
+                rows = tag_statements(
                     stmts, mode="rule", ar=ar, use_tc=args.tc,
                     use_sh=args.sh, use_del=args.del_).collect()
-                rows = labeled
             else:
-                raw = stmts.collect()
-                w = [list(r["words"]) for r in raw]
-                p = [list(r["postags"]) for r in raw]
-                c = [list(r["caps"]) for r in raw]
-                preds = probe.predict_tags(w, p, c)
-                from scikg_spark.core.correct import correct_tags
-
-                rows = []
-                for r, (ft, ct) in zip(raw, preds):
-                    res = correct_tags(
-                        ft, ct, [x.lower() for x in r["words"]],
-                        list(r["postags"]), ar=ar, use_tc=args.tc,
-                        use_sh=args.sh, use_del=args.del_)
-                    if res is None:
-                        continue
-                    rows.append({**r.asDict(), "fact_tags": res[0],
-                                 "cond_tags": res[1]})
+                # DISTRIBUTED pseudo-labeling: ship the current probe weights
+                # to the executors (local checkpoint path here; an
+                # sc.broadcast / shared store on a real cluster) and run
+                # predict + the correction chain inside the Arrow UDFs —
+                # only the SURVIVING labeled rows (the training arrays)
+                # come back to the driver, never the raw corpus.
+                wpath = f"{tmp_weights_dir}/probe_part{part}.npz"
+                probe.save(wpath)
+                rows = tag_statements(
+                    stmts, mode="probe", weights_path=wpath, ar=ar,
+                    use_tc=args.tc, use_sh=args.sh, use_del=args.del_
+                ).collect()
             got = pack(rows)
             for acc_list, new in zip(accum, got):
                 acc_list.extend(new)

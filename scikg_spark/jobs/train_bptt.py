@@ -1,0 +1,236 @@
+"""Full-BPTT training job (M6 complete + the ensemble lifecycle):
+
+  1. extract statements from a documents table, label them with the rule
+     teacher (the pseudo-label source, mirroring self_train.py:309-323),
+  2. train single MimoTagger configs END TO END — gradients through the
+     gated inputs, BiLSTM encoder, tag-context decoder and both heads
+     (core/train_bptt.BPTTTrainer; reference recipe utils.py:2888-2955:
+     weighted NLL, SGD lr/wd 5e-4/momentum .9, global clip 5, batch 35,
+     per-batch length sort),
+  3. optionally train the per-tag ensemble combiner over the frozen singles
+     (train_ensemble.py:1-147 / Stmt_Extraction_Net.py:429-480 semantics),
+  4. report holdout token accuracy and triple P/R/F1 (the reference's own
+     tuple metric) per model and for the ensemble; save checkpoints
+     consumable by ``tag_statements(mode='neural'|'ensemble',
+     weights_path=...)``.
+
+The reference trains 1000 epochs at lr 0.01 (train.py:159-163); this job
+defaults to a compressed schedule (higher lr, fewer epochs) — pass
+``--lr 0.01 --epochs 1000`` for the literal recipe.
+
+    python -m scikg_spark.jobs.train_bptt --documents /root/testdata/sf0.001 \
+        --out /tmp/bptt_single.npz --epochs 40 --lr 0.05
+    python -m scikg_spark.jobs.train_bptt --documents /root/testdata/sf0.001 \
+        --ensemble-out /tmp/ens.npz --epochs 40 --lr 0.05
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+# the three single-model feature configs (the reference's LM/POS/CAP config
+# bits, utils.py:2679-2698). The LM config is replaced by POSCAP here: the
+# reference's pretrained LM blobs are not shipped (README.md:45-51), so an
+# LM-featured single would train its gates over frozen-random LM features —
+# POSCAP is the honest third diverse config.
+CONFIGS = {
+    "pos": dict(use_lm=False, use_pos=True, use_cap=False),
+    "cap": dict(use_lm=False, use_pos=False, use_cap=True),
+    "poscap": dict(use_lm=False, use_pos=True, use_cap=True),
+}
+
+
+def load_labeled(documents: str, cores: int):
+    """documents table -> rule-labeled (words, pos, cap, yf, yc) lists."""
+    from scikg_spark.core.tags import COND_TAG2ID, FACT_TAG2ID
+    from scikg_spark.pipeline.session import get_spark
+    from scikg_spark.pipeline.stage1 import (
+        build_pages_from_documents, extract_statements)
+    from scikg_spark.pipeline.stage2 import tag_statements
+
+    spark = get_spark(app_name="scikg-train-bptt", cores=cores)
+    try:
+        docs = spark.read.parquet(f"{documents}/documents.parquet")
+        stmts = extract_statements(build_pages_from_documents(docs))
+        labeled = tag_statements(stmts, mode="rule").collect()
+    finally:
+        spark.stop()
+    words = [list(r["words"]) for r in labeled]
+    pos = [list(r["postags"]) for r in labeled]
+    cap = [list(r["caps"]) for r in labeled]
+    yf = [[FACT_TAG2ID[t] for t in r["fact_tags"]] for r in labeled]
+    yc = [[COND_TAG2ID[t] for t in r["cond_tags"]] for r in labeled]
+    return words, pos, cap, yf, yc
+
+
+def triple_prf(model, words, pos, cap, yf, yc):
+    """Decode predictions and gold tags, score with the reference's tuple
+    metric (core/metrics.match_score) -> (precision, recall, f1)."""
+    from scikg_spark.core.decoder import post_decode
+    from scikg_spark.core.metrics import match_score
+    from scikg_spark.core.tags import COND_TAGS, FACT_TAGS
+
+    p_sum = r_sum = n = 0.0
+    preds = model.predict_tags(words, pos, cap)
+    for (pf, pc), w, gf, gc in zip(preds, words, yf, yc):
+        for pred_tags, gold_ids, vocab in ((pf, gf, FACT_TAGS),
+                                           (pc, gc, COND_TAGS)):
+            truth = post_decode(w, [vocab[g] for g in gold_ids])
+            got = post_decode(w, pred_tags)
+            p, r, _, _ = match_score(truth, got)
+            p_sum += p
+            r_sum += r
+            n += 1
+    p = p_sum / max(n, 1)
+    r = r_sum / max(n, 1)
+    f1 = 2 * p * r / max(p + r, 1e-9)
+    return round(p, 4), round(r, 4), round(f1, 4)
+
+
+def token_accuracy(model, words, pos, cap, yf, yc):
+    from scikg_spark.core.tags import COND_TAG2ID, FACT_TAG2ID
+
+    preds = model.predict_tags(words, pos, cap)
+    hit = tot = 0
+    for (ft, ct), gf, gc in zip(preds, yf, yc):
+        for t, g in zip(ft, gf):
+            hit += int(FACT_TAG2ID[t] == g)
+            tot += 1
+        for t, g in zip(ct, gc):
+            hit += int(COND_TAG2ID[t] == g)
+            tot += 1
+    return hit / max(tot, 1)
+
+
+def train_single(config: dict, data, args, w_fact, w_cond, log_prefix=""):
+    import numpy as np
+
+    from scikg_spark.core.neural import MimoTagger
+    from scikg_spark.core.train_bptt import BPTTTrainer
+
+    (tw, tp, tc, tf, tcond), (hw, hp, hc, hf, hcond) = data
+    model = MimoTagger(seed=args.seed, **config)
+    trainer = BPTTTrainer(model, lr=args.lr)
+    idx = np.arange(len(tw))
+    rng = np.random.default_rng(args.seed)
+    t0 = time.time()
+    for epoch in range(args.epochs):
+        rng.shuffle(idx)
+        loss = 0.0
+        n_b = 0
+        for s in range(0, len(idx), args.batch):
+            b = idx[s:s + args.batch]
+            loss += trainer.step(
+                [tw[i] for i in b], [tp[i] for i in b], [tc[i] for i in b],
+                [tf[i] for i in b], [tcond[i] for i in b], w_fact, w_cond)
+            n_b += 1
+        if args.verbose and (epoch % 5 == 0 or epoch == args.epochs - 1):
+            acc = token_accuracy(model, hw, hp, hc, hf, hcond)
+            print(f"{log_prefix}[epoch {epoch}] loss={loss / n_b:.4f} "
+                  f"holdout_acc={acc:.4f} ({time.time() - t0:.0f}s)")
+    return model
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--documents", required=True)
+    parser.add_argument("--eval-documents",
+                        help="optional second corpus for cross-corpus "
+                             "generalization metrics")
+    parser.add_argument("--out", help="single-model .npz checkpoint path")
+    parser.add_argument("--ensemble-out",
+                        help="train all 3 configs + combiner, save here")
+    parser.add_argument("--config", default="poscap", choices=sorted(CONFIGS))
+    parser.add_argument("--epochs", type=int, default=40)
+    parser.add_argument("--combiner-epochs", type=int, default=10)
+    parser.add_argument("--lr", type=float, default=0.05)
+    parser.add_argument("--batch", type=int, default=35)  # train.py batch
+    parser.add_argument("--holdout", type=float, default=0.2)
+    parser.add_argument("--seed", type=int, default=824)
+    parser.add_argument("--cores", type=int, default=8)
+    parser.add_argument("--verbose", action="store_true")
+    args = parser.parse_args(argv)
+    if not args.out and not args.ensemble_out:
+        parser.error("need --out and/or --ensemble-out")
+
+    import numpy as np
+
+    from scikg_spark.core.neural import HeadTrainer, save_weights
+    from collections import Counter
+
+    words, pos, cap, yf, yc = load_labeled(args.documents, args.cores)
+    n_hold = max(1, int(len(words) * args.holdout))
+    hold = slice(0, n_hold)
+    train = slice(n_hold, None)
+    data = ((words[train], pos[train], cap[train], yf[train], yc[train]),
+            (words[hold], pos[hold], cap[hold], yf[hold], yc[hold]))
+    # class weights 1000/freq from the train split (train.py:143-157)
+    w_fact = HeadTrainer.class_weights(Counter(t for s in yf[train] for t in s))
+    w_cond = HeadTrainer.class_weights(Counter(t for s in yc[train] for t in s))
+
+    xcorpus = (load_labeled(args.eval_documents, args.cores)
+               if args.eval_documents else None)
+
+    report: dict = {"statements": len(words), "train": len(words[train]),
+                    "holdout": n_hold, "epochs": args.epochs, "lr": args.lr,
+                    "batch": args.batch, "models": {}}
+    t0 = time.time()
+
+    def evaluate(name, model):
+        acc = token_accuracy(model, *data[1])
+        p, r, f1 = triple_prf(model, *data[1])
+        report["models"][name] = {
+            "holdout_token_acc": round(acc, 4),
+            "holdout_triple_p": p, "holdout_triple_r": r,
+            "holdout_triple_f1": f1}
+        if xcorpus is not None:
+            xp, xr, xf1 = triple_prf(model, *xcorpus)
+            report["models"][name].update(
+                {"xcorpus_triple_p": xp, "xcorpus_triple_r": xr,
+                 "xcorpus_triple_f1": xf1})
+        return f1
+
+    if args.ensemble_out:
+        from scikg_spark.core.neural import MimoEnsemble
+        from scikg_spark.core.train_bptt import EnsembleTrainer
+
+        singles = {}
+        for name, config in CONFIGS.items():
+            singles[name] = train_single(config, data, args, w_fact, w_cond,
+                                         log_prefix=f"{name} ")
+            evaluate(name, singles[name])
+        ens = MimoEnsemble(models=list(singles.values()), seed=args.seed)
+        etr = EnsembleTrainer(ens, lr=args.lr)
+        (tw, tp, tc, tf, tcond), _ = data
+        idx = np.arange(len(tw))
+        rng = np.random.default_rng(args.seed + 1)
+        for _ in range(args.combiner_epochs):
+            rng.shuffle(idx)
+            for s in range(0, len(idx), args.batch):
+                b = idx[s:s + args.batch]
+                etr.step([tw[i] for i in b], [tp[i] for i in b],
+                         [tc[i] for i in b], [tf[i] for i in b],
+                         [tcond[i] for i in b], w_fact, w_cond)
+        evaluate("ensemble", ens)
+        ens.save(args.ensemble_out)
+        report["ensemble_weights"] = args.ensemble_out
+        if args.out:  # also save the best single
+            best = max(CONFIGS, key=lambda n:
+                       report["models"][n]["holdout_triple_f1"])
+            save_weights(singles[best], args.out)
+            report["best_single"] = best
+            report["weights"] = args.out
+    else:
+        model = train_single(CONFIGS[args.config], data, args, w_fact, w_cond)
+        evaluate(args.config, model)
+        save_weights(model, args.out)
+        report["weights"] = args.out
+
+    report["train_sec"] = round(time.time() - t0, 1)
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()

@@ -8,6 +8,11 @@ utils.py:933-1034, 2248-2582) as Spark operators.
     (utils.py:2401-2412, 2550-2582).
   * tag_confusion / tag_metrics — token-level confusion matrix and per-tag +
     micro/macro P/R/F1 as plain groupBy aggregations (A2-A4).
+  * cross_validate — A6: the reference's ``num_pass`` random re-split
+    evaluation protocol (split utils.py:503-552, mean/std aggregation
+    utils.py:1647-1705) with deterministic hash-based statement sampling
+    instead of driver-side random.sample, so the split is reproducible and
+    computed WHERE THE DATA IS.
 """
 
 from __future__ import annotations
@@ -134,3 +139,56 @@ def tag_metrics(confusion: DataFrame) -> DataFrame:
         F.avg("recall").alias("recall"),
         F.avg("f1").alias("f1"))
     return per_tag.unionByName(micro).unionByName(macro)
+
+
+def cross_validate(tagged_pred: DataFrame, tagged_truth: DataFrame,
+                   col: str = "fact_tags", num_pass: int = 5,
+                   seed: int = 824) -> dict:
+    """A6: ``num_pass`` re-split evaluation with mean±std reporting — the
+    reference's headline protocol (random 1/num_pass validation splits,
+    utils.py:503-552; np.mean/np.std over passes, utils.py:1670-1705).
+
+    Per-statement confusion counts are computed ONCE; each pass selects its
+    validation statements by a seeded hash of (doc_id, stmt_id, pass) —
+    deterministic, reproducible, and no driver-side id list (random.sample
+    over 10^12 statements doesn't exist). Returns the per-pass macro rows
+    plus mean/std of macro precision/recall/F1.
+    """
+    import numpy as np
+
+    keys = ["doc_id", "stmt_id"]
+    p = tagged_pred.select(
+        *[F.col(k).alias(k + "_p") for k in keys],
+        F.posexplode(col).alias("pos_p", "pred_tag"))
+    t = tagged_truth.select(*keys, F.posexplode(col).alias("pos", "true_tag"))
+    cond = [t[k] == p[k + "_p"] for k in keys] + [t["pos"] == p["pos_p"]]
+    per_stmt = (
+        t.join(p, cond)
+        .groupBy("doc_id", "stmt_id", "true_tag", "pred_tag")
+        .count()
+        .localCheckpoint()  # num_pass aggregations reuse one materialization
+    )
+
+    passes = []
+    for i in range(num_pass):
+        sel = F.pmod(
+            F.xxhash64(F.concat_ws(
+                "#", F.col("doc_id").cast("string"),
+                F.col("stmt_id").cast("string"), F.lit(f"{seed}:{i}"))),
+            F.lit(num_pass)) == 0
+        conf = (per_stmt.filter(sel)
+                .groupBy("true_tag", "pred_tag")
+                .agg(F.sum("count").alias("count")))
+        row = (tag_metrics(conf)
+               .filter(F.col("tag") == "__macro__")
+               .select("precision", "recall", "f1")
+               .first())
+        passes.append({"pass": i, "precision": float(row["precision"]),
+                       "recall": float(row["recall"]), "f1": float(row["f1"])})
+
+    out = {"num_pass": num_pass, "passes": passes}
+    for metric in ("precision", "recall", "f1"):
+        vals = np.asarray([p_[metric] for p_ in passes])
+        out[f"macro_{metric}_mean"] = float(vals.mean())
+        out[f"macro_{metric}_std"] = float(vals.std())
+    return out

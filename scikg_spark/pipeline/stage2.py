@@ -53,8 +53,9 @@ def tag_statements(
     Correction flags drop statements exactly like the reference's
     pseudo-labeling filter chain (self_train.py:117-203).
     """
-    if weights_path is not None and mode not in ("neural", "probe"):
-        raise ValueError("weights_path requires mode='neural' or 'probe'")
+    if weights_path is not None and mode not in ("neural", "probe", "ensemble"):
+        raise ValueError(
+            "weights_path requires mode='neural', 'probe' or 'ensemble'")
     if mode == "probe" and weights_path is None:
         raise ValueError("probe mode needs a trained weights_path")
     if mode == "gold":
@@ -86,13 +87,16 @@ def tag_statements(
             # built once per Python worker; in production the weight dict is
             # an sc.broadcast and this constructor loads from it
             from scikg_spark.core.neural import (
-                MimoEnsemble, MimoTagger, ProbeTagger, tagger_from_weights)
+                MimoEnsemble, MimoTagger, ProbeTagger, ensemble_from_weights,
+                tagger_from_weights)
 
             if mode == "probe":
                 model = ProbeTagger.load(weights_path)
             elif mode == "neural" and weights_path is not None:
                 # the checkpoint's own flags decide the model config
                 model = tagger_from_weights(weights_path)
+            elif mode == "ensemble" and weights_path is not None:
+                model = ensemble_from_weights(weights_path)
             else:
                 model = MimoEnsemble() if mode == "ensemble" else MimoTagger()
             for pdf in batches:

@@ -65,3 +65,49 @@ class TestTagMetrics:
         assert metrics["B-f2P"].precision == 0.5 and metrics["B-f2P"].recall == 1.0
         assert metrics["__micro__"].recall == 1.0  # 2 tp over 2 non-O truth
         assert abs(metrics["__macro__"].precision - 0.75) < 1e-9
+
+
+class TestCrossValidate:
+    """A6: num_pass re-split mean/std (utils.py:503-552, 1647-1705)."""
+
+    def _tagged(self, spark, perturb=False):
+        from scikg_spark.pipeline.stage1 import (
+            build_pages_from_documents, extract_statements)
+        from scikg_spark.pipeline.stage2 import tag_statements
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet").limit(60)
+        stmts = extract_statements(build_pages_from_documents(docs))
+        tagged = tag_statements(stmts, mode="rule")
+        if perturb:
+            from pyspark.sql import functions as F
+
+            # flip the first tag of every even statement to 'O'
+            tagged = tagged.withColumn(
+                "fact_tags",
+                F.when(F.col("stmt_id") % 2 == 0,
+                       F.concat(F.array(F.lit("O")),
+                                F.slice("fact_tags", 2, 10_000)))
+                .otherwise(F.col("fact_tags")))
+        return tagged
+
+    def test_perfect_predictions_give_f1_one_std_zero(self, spark):
+        from scikg_spark.pipeline.evaluate import cross_validate
+
+        tagged = self._tagged(spark).cache()
+        out = cross_validate(tagged, tagged, num_pass=3)
+        assert len(out["passes"]) == 3
+        assert out["macro_f1_mean"] == 1.0
+        assert out["macro_f1_std"] == 0.0
+
+    def test_imperfect_predictions_vary_across_passes(self, spark):
+        from scikg_spark.pipeline.evaluate import cross_validate
+
+        truth = self._tagged(spark).cache()
+        pred = self._tagged(spark, perturb=True).cache()
+        out = cross_validate(pred, truth, num_pass=5)
+        assert out["macro_f1_mean"] < 1.0
+        assert out["macro_f1_std"] > 0.0  # different splits, different F1
+        # deterministic: same seed, same result
+        again = cross_validate(pred, truth, num_pass=5)
+        assert again == out

@@ -1,0 +1,76 @@
+"""The committed full-BPTT checkpoints (checkpoints/, trained by
+jobs/train_bptt.py with the reference recipe) must keep their quality claims:
+triple P/R >= 0.95 vs the rule teacher on FRESH statements, and the trained
+ensemble must not fall below the best committed single."""
+
+import os
+
+import pytest
+
+CKPT_DIR = "/root/repo/checkpoints"
+SINGLE = os.path.join(CKPT_DIR, "bptt_best_single.npz")
+ENSEMBLE = os.path.join(CKPT_DIR, "ensemble_011.npz")
+
+pytestmark = pytest.mark.skipif(
+    not (os.path.exists(SINGLE) and os.path.exists(ENSEMBLE)),
+    reason="trained checkpoints not present")
+
+
+@pytest.fixture(scope="module")
+def fresh_eval(spark):
+    """Statements the training job never saw as a holdout unit: a fresh
+    slice of sf0.01 with rule-teacher labels."""
+    from scikg_spark.core.tags import COND_TAG2ID, FACT_TAG2ID
+    from scikg_spark.pipeline.stage1 import (
+        build_pages_from_documents, extract_statements)
+    from scikg_spark.pipeline.stage2 import tag_statements
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.01/documents.parquet").limit(80)
+    stmts = extract_statements(build_pages_from_documents(docs))
+    rows = tag_statements(stmts, mode="rule").collect()
+    return ([list(r["words"]) for r in rows],
+            [list(r["postags"]) for r in rows],
+            [list(r["caps"]) for r in rows],
+            [[FACT_TAG2ID[t] for t in r["fact_tags"]] for r in rows],
+            [[COND_TAG2ID[t] for t in r["cond_tags"]] for r in rows])
+
+
+def _prf(model, data):
+    from scikg_spark.jobs.train_bptt import triple_prf
+
+    return triple_prf(model, *data)
+
+
+def test_single_checkpoint_meets_quality_gate(fresh_eval):
+    from scikg_spark.core.neural import tagger_from_weights
+
+    p, r, f1 = _prf(tagger_from_weights(SINGLE), fresh_eval)
+    assert p >= 0.95 and r >= 0.95, (p, r)
+
+
+def test_ensemble_checkpoint_at_least_as_good_as_single(fresh_eval):
+    from scikg_spark.core.neural import ensemble_from_weights, tagger_from_weights
+
+    _, _, f1_single = _prf(tagger_from_weights(SINGLE), fresh_eval)
+    p, r, f1_ens = _prf(ensemble_from_weights(ENSEMBLE), fresh_eval)
+    assert p >= 0.95 and r >= 0.95, (p, r)
+    assert f1_ens >= f1_single - 1e-9, (f1_ens, f1_single)
+
+
+def test_trained_ensemble_flows_through_spark(spark):
+    from scikg_spark.pipeline.stage1 import (
+        build_pages_from_documents, extract_statements)
+    from scikg_spark.pipeline.stage2 import decode_tuples, tag_statements
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").limit(20)
+    stmts = extract_statements(build_pages_from_documents(docs))
+    neural = decode_tuples(tag_statements(
+        stmts, mode="ensemble", weights_path=ENSEMBLE))
+    rule = decode_tuples(tag_statements(stmts, mode="rule"))
+    # trained-on-rule-teacher ensemble reproduces the teacher's tuples
+    n_match = neural.select("doc_id", "stmt_id", "kind", "subj", "pred", "obj") \
+        .intersect(rule.select("doc_id", "stmt_id", "kind", "subj", "pred", "obj")) \
+        .count()
+    assert n_match / max(rule.count(), 1) >= 0.9

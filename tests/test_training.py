@@ -198,3 +198,181 @@ class TestCheckpointConfigRoundtrip:
         loaded = ProbeTagger.load(path)
         assert loaded.base.use_lm and not loaded.base.use_pos
         assert probe.predict_tags(*stmts) == loaded.predict_tags(*stmts)
+
+
+# ---------------------------------------------------------------------------
+# Full BPTT (M6 complete): analytic gradients for EVERY parameter must match
+# central finite differences on a tiny float64 model, the cached forward must
+# equal MimoTagger._forward, and the reference-recipe step must learn.
+# ---------------------------------------------------------------------------
+
+from scikg_spark.core.train_bptt import BPTTTrainer, EnsembleTrainer  # noqa: E402
+
+
+def _tiny_model(use_lm=False, enhance=True, seed=0, D=6, H=5, NT=4,
+                PD=3, CD=2, dtype=np.float64):
+    """Shrink a MimoTagger to gradcheck size (dims derive from the arrays,
+    so the trainer works on any consistent set)."""
+    from scikg_spark.core.neural import _LSTMCell, LM_DIM
+    from scikg_spark.core.tags import CAP_TAGS, POS_TAGS
+
+    m = MimoTagger(seed=seed, use_lm=use_lm, enhance=enhance)
+    rng = np.random.default_rng(seed + 100)
+
+    def r(*s):
+        return (rng.standard_normal(s) * 0.3).astype(dtype)
+
+    m.pos_emb = r(len(POS_TAGS) + 1, PD)
+    m.w_pos, m.g_pos = r(PD, D), r(PD, D)
+    m.cap_emb = r(len(CAP_TAGS) + 1, CD)
+    m.w_cap, m.g_cap = r(CD, D), r(CD, D)
+    for name, in_dim in (("enc_f", D), ("enc_b", D),
+                         ("dec", 2 * H + 2 * NT)):
+        cell = _LSTMCell(np.random.default_rng(1), 1, H)
+        cell.w, cell.b, cell.hidden = r(in_dim + H, 4 * H), r(4 * H), H
+        setattr(m, name, cell)
+    m.head_fact = r(H, NT)
+    m.head_cond = r(H + (NT if enhance else 0), NT)
+    if use_lm:
+        m.w_lm, m.g_lm = r(LM_DIM, D), r(LM_DIM, D)
+        # frozen featurizer, but its input dim must match the tiny word dim
+        m.lm_cell.w = (np.random.default_rng(8).standard_normal(
+            (D + LM_DIM, 4 * LM_DIM)) * 0.05).astype(np.float32)
+    return m
+
+
+_GC_BATCH = (
+    [["alpha", "beta", "gamma", "delta"], ["one", "two"]],
+    [["NN", "VBZ", "IN", "NN"], ["JJ", "NN"]],
+    [["1C", "O", "O", "2P"], ["O", "3C"]],
+    [[1, 2, 0, 3], [0, 1]],
+    [[0, 3, 1, 2], [2, 0]],
+)
+_GC_WF = np.array([1.0, 2.0, 0.5, 1.5])
+_GC_WC = np.array([0.7, 1.2, 2.0, 1.0])
+
+
+def _gradcheck(model, n_coords=10, eps=1e-6, tol=1e-5):
+    tr = BPTTTrainer(model)
+    words, pos, cap, yf, yc = _GC_BATCH
+    _, grads = tr.loss_and_grads(words, pos, cap, yf, yc, _GC_WF, _GC_WC)
+    rng = np.random.default_rng(42)
+    worst = 0.0
+    for key, p in tr._params().items():
+        coords = rng.choice(p.size, size=min(n_coords, p.size), replace=False)
+        for ci in coords:
+            old = p.flat[ci]
+            p.flat[ci] = old + eps
+            lp, _ = tr.loss_and_grads(words, pos, cap, yf, yc, _GC_WF, _GC_WC)
+            p.flat[ci] = old - eps
+            lm_, _ = tr.loss_and_grads(words, pos, cap, yf, yc, _GC_WF, _GC_WC)
+            p.flat[ci] = old
+            fd = (lp - lm_) / (2 * eps)
+            an = grads[key].flat[ci]
+            err = abs(fd - an) / max(1.0, abs(fd), abs(an))
+            assert err < tol, f"{key}[{ci}]: analytic={an} fd={fd} err={err}"
+            worst = max(worst, err)
+    return worst
+
+
+class TestBPTT:
+    def test_gradcheck_all_params(self):
+        _gradcheck(_tiny_model())
+
+    def test_gradcheck_no_enhance(self):
+        _gradcheck(_tiny_model(enhance=False, seed=3))
+
+    def test_gradcheck_lm_gates(self):
+        # LM featurizer frozen; w_lm/g_lm gates still get exact grads
+        _gradcheck(_tiny_model(use_lm=True, seed=5), n_coords=5)
+
+    def test_cached_forward_matches_predict_forward(self):
+        model = MimoTagger(seed=824)
+        words, pos, cap, yf, yc = _training_batch(n_stmts=4, length=6)
+        ref_f, ref_c, ref_lens = model._forward(words, pos, cap)
+        tr = BPTTTrainer(model)
+        tr.loss_and_grads(words, pos, cap, yf, yc,
+                          np.ones(11, np.float32), np.ones(11, np.float32))
+        got_f, got_c, got_lens = tr._last
+        assert list(ref_lens) == list(got_lens)
+        np.testing.assert_allclose(ref_f, got_f, rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(ref_c, got_c, rtol=1e-5, atol=1e-6)
+
+    def test_bptt_step_learns_and_beats_frozen_heads(self):
+        # the full-gradient step must fit the toy signal faster than any
+        # fixed-encoder probe could change the encoder (loss drops hard)
+        model = MimoTagger(seed=11)
+        tr = BPTTTrainer(model, lr=0.05)
+        words, pos, cap, yf, yc = _training_batch(n_stmts=20)
+        losses = [tr.step(words, pos, cap, yf, yc) for _ in range(40)]
+        assert losses[-1] < losses[0] * 0.5, (losses[0], losses[-1])
+
+    def test_bptt_weights_flow_through_neural_mode(self, tmp_path):
+        from scikg_spark.core.neural import save_weights, tagger_from_weights
+
+        model = MimoTagger(seed=13)
+        tr = BPTTTrainer(model, lr=0.05)
+        words, pos, cap, yf, yc = _training_batch(n_stmts=10)
+        for _ in range(5):
+            tr.step(words, pos, cap, yf, yc)
+        path = str(tmp_path / "bptt.npz")
+        save_weights(model, path)
+        loaded = tagger_from_weights(path)
+        assert model.predict_tags(words, pos, cap) == \
+            loaded.predict_tags(words, pos, cap)
+
+    def test_bptt_step_is_deterministic(self):
+        def run():
+            model = MimoTagger(seed=4)
+            tr = BPTTTrainer(model)
+            words, pos, cap, yf, yc = _training_batch(seed=9, n_stmts=8)
+            return [tr.step(words, pos, cap, yf, yc) for _ in range(3)]
+
+        assert run() == run()
+
+
+class TestEnsembleTraining:
+    def test_combiner_loss_decreases(self):
+        from scikg_spark.core.neural import MimoEnsemble
+
+        models = [MimoTagger(seed=21, use_lm=False, use_pos=True, use_cap=False),
+                  MimoTagger(seed=22, use_lm=False, use_pos=False, use_cap=True),
+                  MimoTagger(seed=23, use_lm=False, use_pos=True, use_cap=True)]
+        ens = MimoEnsemble(models=models, seed=20)
+        tr = EnsembleTrainer(ens, lr=0.1)
+        words, pos, cap, yf, yc = _training_batch(n_stmts=10)
+        losses = [tr.step(words, pos, cap, yf, yc) for _ in range(25)]
+        assert losses[-1] < losses[0] * 0.9, (losses[0], losses[-1])
+
+    def test_ensemble_save_load_roundtrip(self, tmp_path):
+        from scikg_spark.core.neural import MimoEnsemble, ensemble_from_weights
+
+        ens = MimoEnsemble(seed=30, models=[
+            MimoTagger(seed=31, use_lm=False, use_pos=True, use_cap=False),
+            MimoTagger(seed=32, use_lm=False, use_pos=False, use_cap=True)])
+        words, pos, cap, yf, yc = _training_batch(n_stmts=4)
+        EnsembleTrainer(ens, lr=0.1).step(words, pos, cap, yf, yc)
+        path = str(tmp_path / "ens.npz")
+        ens.save(path)
+        other = ensemble_from_weights(path)
+        assert len(other.models) == 2
+        assert other.models[0].use_pos and not other.models[0].use_cap
+        assert ens.predict_tags(words, pos, cap) == \
+            other.predict_tags(words, pos, cap)
+
+    def test_ensemble_weights_flow_through_spark(self, spark, tmp_path):
+        from scikg_spark.core.neural import MimoEnsemble
+        from scikg_spark.pipeline.stage1 import (
+            build_pages_from_documents, extract_statements)
+        from scikg_spark.pipeline.stage2 import tag_statements
+
+        ens = MimoEnsemble(seed=40, models=[
+            MimoTagger(seed=41, use_lm=False, use_pos=True, use_cap=False),
+            MimoTagger(seed=42, use_lm=False, use_pos=False, use_cap=True)])
+        path = str(tmp_path / "ens.npz")
+        ens.save(path)
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet").limit(10)
+        stmts = extract_statements(build_pages_from_documents(docs))
+        rows = tag_statements(stmts, mode="ensemble", weights_path=path).collect()
+        assert len(rows) > 0
