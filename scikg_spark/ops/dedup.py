@@ -50,15 +50,20 @@ def _word_shingles(k: int):
 
 def q_minhash_dup_pairs(spark, sf_dir):
     """Candidate near-duplicate pairs: docs sharing >= 1 LSH band."""
-    shingled = (
+    # signatures in place via array expressions: no shingle explode, no
+    # distinct shuffle — min(md5) over the distinct shingle array equals the
+    # exploded form row-for-row (docs with < 3 words have no signature, same
+    # as the oracle's len >= 3 guard)
+    sig = (
         _docs(spark, sf_dir)
-        .select("doc_id", F.explode(_word_shingles(3)).alias("shingle"))
-        .distinct()
+        .select("doc_id", F.array_distinct(_word_shingles(3)).alias("sh"))
+        .filter(F.size("sh") > 0)
+        .select("doc_id", *[
+            F.expr(f"array_min(transform(sh, s -> md5(concat('s{i}:', s))))")
+            .alias(f"h{i}")
+            for i in range(_N_HASHES)
+        ])
     )
-    sig = shingled.groupBy("doc_id").agg(*[
-        F.min(F.md5(F.concat(F.lit(f"s{i}:"), F.col("shingle")))).alias(f"h{i}")
-        for i in range(_N_HASHES)
-    ])
     bands = []
     for b in range(_N_HASHES // _BAND_SIZE):
         cols = [F.col(f"h{b * _BAND_SIZE + j}") for j in range(_BAND_SIZE)]

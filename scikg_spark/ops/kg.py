@@ -4,17 +4,33 @@ the pure-Python reference decode, gated in tests/test_pipeline_spark.py)."""
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from scikg_spark.pipeline.fused import pages_to_tuples
 from scikg_spark.pipeline.stage1 import build_pages_from_documents
 from scikg_spark.pipeline.stage3 import link_entities
 
+# One extraction pass per (application, corpus): every kg_* query reads the
+# same cached tuples frame instead of re-running the Arrow extraction UDF.
+# This is the in-session form of the stage-boundary materialization the
+# runner does with catalog snapshots — at 10^12-doc scale the tuples table is
+# checkpointed storage, not a recomputed lineage, and all downstream graph
+# queries scan it.
+_TUPLES_CACHE: dict[tuple[str, str], object] = {}
+
 
 def _tuples(spark, sf_dir):
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    cached = _TUPLES_CACHE.get(key)
+    if cached is not None:
+        return cached
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     pages = build_pages_from_documents(docs)
-    return pages_to_tuples(pages)
+    t = pages_to_tuples(pages).cache()
+    _TUPLES_CACHE[key] = t
+    return t
 
 
 def kg_triples(spark, sf_dir):
@@ -54,7 +70,7 @@ def kg_entity_nodes(spark, sf_dir):
 def kg_entity_edges(spark, sf_dir):
     """Graph-shaped output: tuples with subject/object entity ids attached
     (the stage-4 edges table as a query)."""
-    t = _tuples(spark, sf_dir).cache()
+    t = _tuples(spark, sf_dir)
     _, phrase_map = link_entities(t)
     src = phrase_map.select(
         F.col("phrase").alias("_sp"), F.col("entity_id").alias("subj_entity"))

@@ -11,17 +11,17 @@ mention phrases into entities via
      hash-min joins (no GraphFrames dependency), ``localCheckpoint`` per
      round to cut lineage.
 
-Scale design: minhash signatures are computed in ONE aggregation pass
-(n_hashes min() columns over an exploded shingle frame — map-side partial
-aggregation applies); LSH buckets are capped (``max_bucket``) so a hot block
-(stopword-like phrases) cannot produce a quadratic pair explosion — the cap
-plus AQE skew-join handling is the documented skew strategy; candidate pairs
-are verified with a true-Jaccard vectorized UDF before becoming edges.
+Scale design: minhash signatures are computed IN PLACE with JVM array
+expressions (array_min over transform of the shingle array — zero shuffle,
+zero Python, no shingle explode); LSH buckets are capped (``max_bucket``) so
+a hot block (stopword-like phrases) cannot produce a quadratic pair
+explosion — the cap plus AQE skew-join handling is the documented skew
+strategy; candidate pairs are verified with a true-Jaccard JVM expression
+(array_intersect / array_union) before becoming edges.
 """
 
 from __future__ import annotations
 
-import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 
@@ -70,12 +70,14 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """MinHash-LSH candidate pairs (src < dst) over the ``norm`` strings."""
     assert n_hashes % band_size == 0
-    exploded = phrases.select(
-        "phrase_id",
-        F.explode(_shingles("norm", shingle_k)).alias("shingle"),
-    )
-    sig = exploded.groupBy("phrase_id").agg(*[
-        F.min(F.xxhash64(F.concat(F.lit(f"seed{i}:"), F.col("shingle")))).alias(f"h{i}")
+    # signatures are computed IN PLACE with array expressions (array_min over
+    # transform) — no shingle explode, no distinct, no shuffle until the band
+    # self-join; at web scale this removes a full (id, shingle) shuffle
+    sh = phrases.select(
+        "phrase_id", F.array_distinct(_shingles("norm", shingle_k)).alias("sh"))
+    sig = sh.select("phrase_id", *[
+        F.expr(f"array_min(transform(sh, s -> "
+               f"xxhash64(concat('seed{i}:', s))))").alias(f"h{i}")
         for i in range(n_hashes)
     ])
     n_bands = n_hashes // band_size
@@ -105,26 +107,24 @@ def lsh_candidate_pairs(
 def verify_jaccard(
     pairs: DataFrame, phrases: DataFrame, shingle_k: int = 3, threshold: float = 0.8
 ) -> DataFrame:
-    """True shingle-set Jaccard filter on candidate pairs (vectorized UDF)."""
+    """True shingle-set Jaccard filter on candidate pairs — pure JVM
+    (array_intersect / array_union over distinct shingle arrays; no Python
+    worker round-trip in the verification path)."""
+    sh = phrases.select(
+        "phrase_id", F.array_distinct(_shingles("norm", shingle_k)).alias("sh"))
     withs = (
-        pairs.join(phrases.select(F.col("phrase_id").alias("src"),
-                                  F.col("norm").alias("norm_src")), "src")
-        .join(phrases.select(F.col("phrase_id").alias("dst"),
-                             F.col("norm").alias("norm_dst")), "dst")
+        pairs.join(sh.select(F.col("phrase_id").alias("src"),
+                             F.col("sh").alias("sh_a")), "src")
+        .join(sh.select(F.col("phrase_id").alias("dst"),
+                        F.col("sh").alias("sh_b")), "dst")
     )
-
-    @F.pandas_udf("double")
-    def jaccard(a: pd.Series, b: pd.Series) -> pd.Series:
-        def sh(s):
-            return {s[i:i + shingle_k] for i in range(max(1, len(s) - shingle_k + 1))}
-        out = []
-        for x, y in zip(a, b):
-            sx, sy = sh(x), sh(y)
-            out.append(len(sx & sy) / float(len(sx | sy)) if (sx or sy) else 1.0)
-        return pd.Series(out)
-
+    union_size = F.size(F.array_union("sh_a", "sh_b"))
     return (
-        withs.withColumn("jaccard", jaccard("norm_src", "norm_dst"))
+        withs.withColumn(
+            "jaccard",
+            F.when(union_size == 0, F.lit(1.0))
+            .otherwise(F.size(F.array_intersect("sh_a", "sh_b")) /
+                       union_size.cast("double")))
         .filter(F.col("jaccard") >= threshold)
         .select("src", "dst")
     )
@@ -147,7 +147,11 @@ def connected_components(edges: DataFrame, vertices: DataFrame,
         "spark.sql.shuffle.partitions")), n_edges // 50_000 + 2))
     bidir = bidir.repartition(n_parts, "src")
     comp = vertices.select(F.col("id"), F.col("id").alias("comp"))
-    comp = comp.repartition(n_parts, "id")
+    # cut the vertex lineage too: the initial comp frame is referenced three
+    # times per round (two propagate hops + the convergence join) — without a
+    # checkpoint each materialization would recompute the full upstream
+    # pipeline (LSH + verification UDFs) that produced the vertex set
+    comp = comp.repartition(n_parts, "id").localCheckpoint()
 
     def propagate(frame):
         nbr_min = (
@@ -286,16 +290,37 @@ def link_entities(tuples: DataFrame, lsh_threshold: float = 0.8,
     optionally contributes curated pair edges (phrase_a, phrase_b).
     """
     phrases = mention_phrases(tuples).cache()
-    edges = exact_edges(phrases)
+    # one groupBy serves both the exact star-edges and the LSH input: LSH
+    # runs over ONE representative per distinct norm (same-norm phrases are
+    # already connected by the star), which shrinks the shingle explode /
+    # signature agg / band self-join by the duplication factor — at web scale
+    # duplicate surface forms dominate the mention table
+    norm_groups = phrases.groupBy("norm").agg(F.min("phrase_id").alias("root"))
+    edges = (
+        phrases.join(norm_groups, "norm")
+        .filter(F.col("phrase_id") != F.col("root"))
+        .select(F.col("root").alias("src"), F.col("phrase_id").alias("dst"))
+    )
     if use_lsh:
-        cand = lsh_candidate_pairs(phrases)
-        edges = edges.union(verify_jaccard(cand, phrases, threshold=lsh_threshold))
+        reps = norm_groups.select(F.col("root").alias("phrase_id"), "norm")
+        cand = lsh_candidate_pairs(reps)
+        edges = edges.union(verify_jaccard(cand, reps, threshold=lsh_threshold))
     if synonyms is not None:
         edges = edges.union(synonym_phrase_edges(phrases, synonyms))
-    comp = connected_components(
-        edges, phrases.select(F.col("phrase_id").alias("id")))
-    mapped = phrases.join(comp, phrases["phrase_id"] == comp["id"]).select(
-        "phrase", "norm", F.col("comp").alias("entity_id"))
+    # materialize the edge pipeline (LSH bands + Jaccard-verify UDF) exactly
+    # once: both the CC adjacency and the vertex set derive from it
+    edges = edges.localCheckpoint()
+    # CC only over vertices an edge touches; singleton phrases (the vast
+    # majority) skip the iterative rounds entirely and map to themselves
+    touched = (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    comp = connected_components(edges, touched)
+    mapped = phrases.join(comp, phrases["phrase_id"] == comp["id"], "left").select(
+        "phrase", "norm",
+        F.coalesce("comp", "phrase_id").alias("entity_id"))
     nodes = mapped.groupBy("entity_id").agg(
         F.min("norm").alias("canonical"),
         F.countDistinct("phrase").alias("n_phrases"),
