@@ -13,6 +13,11 @@ Mirrors the reference's training recipe exactly (citations into
   * clipping  — global grad norm clipped to 5 BEFORE the optimizer step
                 (utils.py:2952 nn.utils.clip_grad_norm_)
   * batching  — each batch sorted by length descending (utils.py:2917-2919)
+  * targets   — hard tag ids, or SOFT per-token distributions (the S7
+                prior-tag streams; reference ``load_prior_tag``
+                utils.py:554-615 rewrites OUT to distribution pairs) —
+                weighted cross-entropy that reduces to the hard NLL on
+                one-hot rows
 
 The LM featurizer stays FROZEN (no gradient through ``lm_cell``) — in the
 reference the LM features arrive precomputed from a separately-trained
@@ -222,11 +227,23 @@ class BPTTTrainer:
         for bi in range(B):
             yf = np.asarray(fact_ids[bi])
             yc = np.asarray(cond_ids[bi])
-            tf = np.arange(len(yf))
-            loss -= float((wf[yf] * fact_logp[bi, tf, yf]).sum())
-            loss -= float((wc[yc] * cond_logp[bi, tf, yc]).sum())
-            dflp[bi, tf, yf] -= wf[yf]
-            dclp[bi, tf, yc] -= wc[yc]
+            if yf.ndim == 2:
+                # SOFT targets: per-token prior tag distributions (the S7
+                # prior-tag streams, reference load_prior_tag
+                # utils.py:554-615 which rewrites OUT to distribution pairs).
+                # Weighted cross-entropy H_w(q, p) = -sum_j w_j q_j log p_j;
+                # one-hot rows reduce exactly to the hard-id branch below.
+                n = yf.shape[0]
+                loss -= float((wf[None, :] * yf * fact_logp[bi, :n]).sum())
+                loss -= float((wc[None, :] * yc * cond_logp[bi, :n]).sum())
+                dflp[bi, :n] -= wf[None, :] * yf.astype(dtype)
+                dclp[bi, :n] -= wc[None, :] * yc.astype(dtype)
+            else:
+                tf = np.arange(len(yf))
+                loss -= float((wf[yf] * fact_logp[bi, tf, yf]).sum())
+                loss -= float((wc[yc] * cond_logp[bi, tf, yc]).sum())
+                dflp[bi, tf, yf] -= wf[yf]
+                dclp[bi, tf, yc] -= wc[yc]
         loss /= B
         dflp /= B
         dclp /= B

@@ -148,6 +148,13 @@ def main(argv=None):
     parser.add_argument("--lr", type=float, default=0.05)
     parser.add_argument("--batch", type=int, default=35)  # train.py batch
     parser.add_argument("--holdout", type=float, default=0.2)
+    parser.add_argument("--prior-fact",
+                        help="S7 prior-tag binary (fact head): train with "
+                             "SOFT per-token tag distributions instead of "
+                             "the hard rule labels (reference load_prior_tag"
+                             ", utils.py:554-615; both --prior-* required)")
+    parser.add_argument("--prior-cond",
+                        help="S7 prior-tag binary (condition head)")
     parser.add_argument("--seed", type=int, default=824)
     parser.add_argument("--cores", type=int, default=8)
     parser.add_argument("--verbose", action="store_true")
@@ -161,10 +168,29 @@ def main(argv=None):
     from collections import Counter
 
     words, pos, cap, yf, yc = load_labeled(args.documents, args.cores)
+    # Prior-tag consumption (the reference's load_prior_tag flow: OUT rows
+    # become per-token distribution pairs for the chosen split). Training
+    # targets turn soft; the holdout keeps hard rule labels so the reported
+    # metrics stay comparable.
+    if args.prior_fact or args.prior_cond:
+        if not (args.prior_fact and args.prior_cond):
+            parser.error("--prior-fact and --prior-cond go together")
+        from scikg_spark.core.priors import (
+            align_priors_to_statements, read_prior_tags)
+        from scikg_spark.core.tags import FACT_TAGS
+        nt = len(FACT_TAGS)
+        yf_t = [np.asarray(d, dtype=np.float32) for d in
+                align_priors_to_statements(
+                    read_prior_tags(args.prior_fact, class_num=nt), words)]
+        yc_t = [np.asarray(d, dtype=np.float32) for d in
+                align_priors_to_statements(
+                    read_prior_tags(args.prior_cond, class_num=nt), words)]
+    else:
+        yf_t, yc_t = yf, yc
     n_hold = max(1, int(len(words) * args.holdout))
     hold = slice(0, n_hold)
     train = slice(n_hold, None)
-    data = ((words[train], pos[train], cap[train], yf[train], yc[train]),
+    data = ((words[train], pos[train], cap[train], yf_t[train], yc_t[train]),
             (words[hold], pos[hold], cap[hold], yf[hold], yc[hold]))
     # class weights 1000/freq from the train split (train.py:143-157)
     w_fact = HeadTrainer.class_weights(Counter(t for s in yf[train] for t in s))

@@ -252,9 +252,11 @@ _GC_WF = np.array([1.0, 2.0, 0.5, 1.5])
 _GC_WC = np.array([0.7, 1.2, 2.0, 1.0])
 
 
-def _gradcheck(model, n_coords=10, eps=1e-6, tol=1e-5):
+def _gradcheck(model, n_coords=10, eps=1e-6, tol=1e-5, targets=None):
     tr = BPTTTrainer(model)
     words, pos, cap, yf, yc = _GC_BATCH
+    if targets is not None:
+        yf, yc = targets
     _, grads = tr.loss_and_grads(words, pos, cap, yf, yc, _GC_WF, _GC_WC)
     rng = np.random.default_rng(42)
     worst = 0.0
@@ -285,6 +287,55 @@ class TestBPTT:
     def test_gradcheck_lm_gates(self):
         # LM featurizer frozen; w_lm/g_lm gates still get exact grads
         _gradcheck(_tiny_model(use_lm=True, seed=5), n_coords=5)
+
+    def test_soft_targets_onehot_equals_hard(self):
+        # one-hot prior distributions must reduce exactly to the hard-id path
+        m = _tiny_model(seed=2)
+        tr = BPTTTrainer(m)
+        words, pos, cap, yf, yc = _GC_BATCH
+        soft_f = [np.eye(4)[np.asarray(s)] for s in yf]
+        soft_c = [np.eye(4)[np.asarray(s)] for s in yc]
+        l_hard, g_hard = tr.loss_and_grads(
+            words, pos, cap, yf, yc, _GC_WF, _GC_WC)
+        l_soft, g_soft = tr.loss_and_grads(
+            words, pos, cap, soft_f, soft_c, _GC_WF, _GC_WC)
+        assert abs(l_hard - l_soft) < 1e-9
+        for k in g_hard:
+            np.testing.assert_allclose(g_hard[k], g_soft[k],
+                                       rtol=1e-8, atol=1e-10)
+
+    def test_gradcheck_soft_targets(self):
+        # exact grads for genuinely soft (non-one-hot) prior distributions
+        rng = np.random.default_rng(11)
+        yf, yc = [], []
+        for w in _GC_BATCH[0]:
+            q = rng.random((len(w), 4))
+            yf.append(q / q.sum(axis=1, keepdims=True))
+            q = rng.random((len(w), 4))
+            yc.append(q / q.sum(axis=1, keepdims=True))
+        _gradcheck(_tiny_model(seed=9), n_coords=5, targets=(yf, yc))
+
+    def test_prior_binary_roundtrip_feeds_soft_training(self, tmp_path):
+        # S7 prior streams -> align -> soft BPTT step (the load_prior_tag
+        # consumption path, utils.py:554-615): loss decreases toward priors
+        from scikg_spark.core.priors import (
+            align_priors_to_statements, read_prior_tags, write_prior_tags)
+
+        words, pos, cap, _, _ = _GC_BATCH
+        rng = np.random.default_rng(4)
+        n_tok = sum(len(w) for w in words)
+        distribs = rng.random((n_tok, 4))
+        distribs /= distribs.sum(axis=1, keepdims=True)
+        path = str(tmp_path / "prior_fact.bin")
+        write_prior_tags(path, distribs.tolist())
+        aligned = align_priors_to_statements(
+            read_prior_tags(path, class_num=4), words)
+        soft = [np.asarray(d, dtype=np.float64) for d in aligned]
+        m = _tiny_model(seed=6)
+        tr = BPTTTrainer(m, lr=0.05)
+        losses = [tr.step(words, pos, cap, soft, soft, _GC_WF, _GC_WC)
+                  for _ in range(12)]
+        assert losses[-1] < losses[0]
 
     def test_cached_forward_matches_predict_forward(self):
         model = MimoTagger(seed=824)
