@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embedding_norms": similarity.q_embedding_norms,
         "q_cosine_topk": similarity.q_cosine_topk,
         "q_ann_lsh_buckets": similarity.q_ann_lsh_buckets,
+        "q_ann_ivf_topk": similarity.q_ann_ivf_topk,
         "q_embedding_neardup": similarity.q_embedding_neardup,
         # multimodal plumbing (decode stubbed behind a deterministic fake
         # container; rows-only)

@@ -45,6 +45,8 @@ def main(argv=None):
     parser.add_argument("--partitions", type=int, default=128)
     parser.add_argument("--ceiling", action="store_true",
                         help="also measure the pure-Python multiprocessing ceiling")
+    parser.add_argument("--arrow-batch", type=int, default=512,
+                        help="spark.sql.execution.arrow.maxRecordsPerBatch")
     args = parser.parse_args(argv)
 
     from pyspark.sql import functions as F
@@ -58,7 +60,9 @@ def main(argv=None):
         result["ceiling_miters_per_sec"] = round(hardware_ceiling(args.cores), 1)
 
     spark = get_spark(app_name=f"scikg-scaling-{args.cores}", cores=args.cores,
-                      shuffle_partitions=max(args.cores * 2, 16))
+                      shuffle_partitions=max(args.cores * 2, 16),
+                      arrow_batch=args.arrow_batch)
+    result["arrow_batch"] = args.arrow_batch
     try:
         docs = spark.read.parquet(f"{args.sf_dir}/documents.parquet")
         if args.repeat > 1:

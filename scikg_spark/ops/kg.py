@@ -19,10 +19,15 @@ from scikg_spark.pipeline.stage3 import link_entities
 # checkpointed storage, not a recomputed lineage, and all downstream graph
 # queries scan it.
 _TUPLES_CACHE: dict[tuple[str, str], object] = {}
+_LINK_CACHE: dict[tuple[str, str], object] = {}
+
+
+def _key(spark, sf_dir):
+    return (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
 
 
 def _tuples(spark, sf_dir):
-    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    key = _key(spark, sf_dir)
     cached = _TUPLES_CACHE.get(key)
     if cached is not None:
         return cached
@@ -31,6 +36,20 @@ def _tuples(spark, sf_dir):
     t = pages_to_tuples(pages).cache()
     _TUPLES_CACHE[key] = t
     return t
+
+
+def _linked(spark, sf_dir):
+    """Entity linking shared between kg_entity_nodes and kg_entity_edges —
+    one LSH + connected-components pass, checkpointed, both queries read it
+    (the runner materializes the same pair of tables as stage-3 snapshots)."""
+    key = _key(spark, sf_dir)
+    cached = _LINK_CACHE.get(key)
+    if cached is not None:
+        return cached
+    nodes, phrase_map = link_entities(_tuples(spark, sf_dir))
+    pair = (nodes.localCheckpoint(), phrase_map.localCheckpoint())
+    _LINK_CACHE[key] = pair
+    return pair
 
 
 def kg_triples(spark, sf_dir):
@@ -63,7 +82,7 @@ def kg_top_facts(spark, sf_dir):
 
 def kg_entity_nodes(spark, sf_dir):
     """Stage-3 canonical entities over the extracted concept mentions."""
-    nodes, _ = link_entities(_tuples(spark, sf_dir))
+    nodes, _ = _linked(spark, sf_dir)
     return nodes.orderBy("entity_id")
 
 
@@ -71,7 +90,7 @@ def kg_entity_edges(spark, sf_dir):
     """Graph-shaped output: tuples with subject/object entity ids attached
     (the stage-4 edges table as a query)."""
     t = _tuples(spark, sf_dir)
-    _, phrase_map = link_entities(t)
+    _, phrase_map = _linked(spark, sf_dir)
     src = phrase_map.select(
         F.col("phrase").alias("_sp"), F.col("entity_id").alias("subj_entity"))
     dst = phrase_map.select(

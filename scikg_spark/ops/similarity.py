@@ -152,6 +152,71 @@ def q_embedding_neardup(spark, sf_dir, threshold: float = 0.95,
     )
 
 
+def q_ann_ivf_topk(spark, sf_dir, n_query: int = 10, k: int = 5,
+                   n_cent: int = 8, n_probe: int = 2):
+    """IVF-flat ANN (the inverted-file scale path next to the LSH one):
+
+      1. centroids = the ``n_cent`` vectors with the smallest
+         md5(vec_id) — deterministic, engine-neutral sampling (no kmeans
+         fit step, so the WHOLE scheme is SQL-expressible and the duel
+         checks it end-to-end);
+      2. every vector joins the BROADCAST centroid set and keeps its
+         nearest centroid via ``max_by`` (partial aggregation — one row per
+         vector reaches the shuffle, no window sort over the full table);
+      3. queries probe only their ``n_probe`` nearest centroids' inverted
+         lists (equi-join on cent_id) — the scan is bounded by
+         n_probe/n_cent of the table instead of all of it.
+
+    At 10^12 rows the centroid set stays broadcast-sized (thousands), the
+    assignment is a map-side pass, and the probe join is an equi-join on a
+    bounded key — no all-pairs anywhere."""
+    from pyspark.sql.window import Window
+
+    emb = _emb(spark, sf_dir)
+    cents = (
+        emb.select("vec_id", "embedding",
+                   F.md5(F.col("vec_id").cast("string")).alias("h"))
+        .orderBy("h", "vec_id")  # TakeOrdered n_cent, not a global sort
+        .limit(n_cent)
+        .withColumn("cent_id",
+                    F.row_number().over(Window.orderBy("h", "vec_id")))
+        .select("cent_id", F.col("embedding").alias("c_emb"))
+    )
+    scored = emb.join(F.broadcast(cents)).withColumn(
+        "sim", F.expr(_cosine("embedding", "c_emb")))
+    assigned = (
+        scored.groupBy("vec_id")
+        .agg(F.expr("max_by(named_struct('cent_id', cent_id, "
+                    "'embedding', embedding), "
+                    "named_struct('s', sim, 'c', -cent_id))").alias("m"))
+        .select("vec_id", F.col("m.cent_id").alias("cent_id"),
+                F.col("m.embedding").alias("embedding"))
+    )
+    queries = emb.filter(F.col("vec_id") < n_query).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"))
+    probes = (
+        queries.join(F.broadcast(cents))
+        .withColumn("sim", F.expr(_cosine("q_emb", "c_emb")))
+        .withColumn("prn", F.row_number().over(
+            Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("cent_id"))))
+        .filter(F.col("prn") <= n_probe)
+        .select("q_id", "q_emb", "cent_id")
+    )
+    # probes is bounded by n_query * n_probe rows — always the broadcast side
+    cand = F.broadcast(probes).join(assigned, "cent_id").filter(
+        F.col("q_id") != F.col("vec_id"))
+    w_k = Window.partitionBy("q_id").orderBy(
+        F.desc("cos"), F.asc("vec_id"))
+    return (
+        cand.withColumn("cos", F.expr(_cosine("q_emb", "embedding")))
+        .withColumn("rank", F.row_number().over(w_k))
+        .filter(F.col("rank") <= k)
+        .select("q_id", F.col("vec_id").alias("n_id"),
+                F.col("rank").cast("long").alias("rank"),
+                F.round("cos", 4).alias("cos_r"))
+    )
+
+
 def embedding_neardup_bruteforce(spark, sf_dir, threshold: float = 0.95):
     """Exact all-pairs reference for the LSH-blocked query (test/oracle-scale
     only — the non-equi join is intentionally NOT the registered query)."""
@@ -221,3 +286,60 @@ ORACLE = {
               >= 0.95
     """,
 }
+
+
+def _duck_cos(a: str, b: str) -> str:
+    """DuckDB cosine between two embedding list columns (double math)."""
+    def dot(x, y):
+        return (f"list_dot_product(list_transform({x}, v -> CAST(v AS DOUBLE)), "
+                f"list_transform({y}, v -> CAST(v AS DOUBLE)))")
+    return f"{dot(a, b)} / (sqrt({dot(a, a)}) * sqrt({dot(b, b)}))"
+
+
+ORACLE["q_ann_ivf_topk"] = f"""
+    WITH cents AS (
+        SELECT row_number() OVER (
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS cent_id,
+               embedding AS c_emb
+        FROM embeddings
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+        LIMIT 8
+    ),
+    scored AS (
+        SELECT e.vec_id, e.embedding, c.cent_id,
+               {_duck_cos('e.embedding', 'c.c_emb')} AS sim
+        FROM embeddings e CROSS JOIN cents c
+    ),
+    assigned AS (
+        SELECT vec_id, cent_id, embedding FROM (
+            SELECT vec_id, cent_id, embedding,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY sim DESC, cent_id ASC) AS arn
+            FROM scored)
+        WHERE arn = 1
+    ),
+    probes AS (
+        SELECT q_id, q_emb, cent_id FROM (
+            SELECT q.vec_id AS q_id, q.embedding AS q_emb, c.cent_id,
+                   row_number() OVER (PARTITION BY q.vec_id
+                                      ORDER BY {_duck_cos('q.embedding', 'c.c_emb')} DESC,
+                                               c.cent_id ASC) AS prn
+            FROM embeddings q CROSS JOIN cents c
+            WHERE q.vec_id < 10)
+        WHERE prn <= 2
+    ),
+    cand AS (
+        SELECT p.q_id, a.vec_id AS n_id,
+               {_duck_cos('p.q_emb', 'a.embedding')} AS cos
+        FROM probes p JOIN assigned a ON p.cent_id = a.cent_id
+        WHERE p.q_id != a.vec_id
+    ),
+    ranked AS (
+        SELECT q_id, n_id, cos,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY cos DESC, n_id ASC) AS rank
+        FROM cand
+    )
+    SELECT q_id, n_id, rank, round(cos, 4) AS cos_r
+    FROM ranked WHERE rank <= 5
+"""
