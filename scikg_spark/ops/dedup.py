@@ -252,6 +252,28 @@ def q_dedup_keep_policy(spark, sf_dir):
     )
 
 
+# Connected components IS SQL-expressible at oracle scale via a recursive
+# CTE (transitive closure + min-reachable-id), so the keep-policy query gets
+# a full rows/schema/hash duel — the Spark side stays the iterative hash-min
+# CC (closure would explode at web scale; the recursion is oracle-only).
+ORACLE["q_dedup_keep_policy"] = f"""
+    WITH RECURSIVE pairs AS ({ORACLE["q_minhash_dup_pairs"]}),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach AS (
+        SELECT doc_id AS a, doc_id AS b FROM documents
+        UNION
+        SELECT r.a, e.dst AS b FROM reach r JOIN edges e ON r.b = e.src
+    ),
+    comp AS (SELECT a, min(b) AS comp FROM reach GROUP BY a)
+    SELECT comp AS keep_doc_id, count(*) AS cluster_size
+    FROM comp GROUP BY comp
+"""
+
+
 ORACLE["q_simhash_buckets"] = f"""
     WITH toks AS (
         SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
