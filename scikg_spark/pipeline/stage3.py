@@ -130,12 +130,56 @@ def verify_jaccard(
     )
 
 
+def _driver_union_find(rows, vertices: DataFrame) -> DataFrame:
+    """CC for a DRIVER-SIZED edge list: classic union-find, then comp = min
+    member id per component (identical labels to the distributed hash-min).
+    The mapping is broadcast back over ``vertices`` (which may be huge)."""
+    parent: dict = {}
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for r in rows:
+        s, d = r[0], r[1]
+        parent.setdefault(s, s)
+        parent.setdefault(d, d)
+        rs, rd = find(s), find(d)
+        if rs != rd:
+            parent[rs] = rd
+    root_min: dict = {}
+    for node in parent:
+        r = find(node)
+        m = root_min.get(r)
+        if m is None or node < m:
+            root_min[r] = node
+    spark = vertices.sparkSession
+    mapping = spark.createDataFrame(
+        [(int(n), int(root_min[find(n)])) for n in parent],
+        schema="id bigint, comp bigint")
+    return (
+        vertices.join(F.broadcast(mapping.withColumnRenamed("comp", "_c")),
+                      "id", "left")
+        .select("id", F.coalesce("_c", "id").alias("comp"))
+    )
+
+
 def connected_components(edges: DataFrame, vertices: DataFrame,
-                         max_iter: int = 20) -> DataFrame:
+                         max_iter: int = 20,
+                         driver_threshold: int = 1 << 20) -> DataFrame:
     """Hash-min label propagation: (id) -> (id, comp) with comp = min id in
     the component. Iterative joins with localCheckpoint per round (bounded by
     ``max_iter``; converges in O(component diameter) rounds — phrase
-    similarity components are shallow)."""
+    similarity components are shallow).
+
+    Edge lists at or under ``driver_threshold`` rows short-circuit to a
+    driver-side union-find — the same size rationale as a broadcast join
+    (~16 B/edge: 1M edges is smaller than a typical broadcast table), and it
+    replaces tens of iterative-join Spark jobs with one collect. Web-scale
+    edge sets (over the threshold) take the distributed iterative path; pass
+    ``driver_threshold=0`` to force it."""
     bidir = edges.union(edges.select(F.col("dst").alias("src"),
                                      F.col("src").alias("dst")))
     bidir = bidir.localCheckpoint()
@@ -143,6 +187,8 @@ def connected_components(edges: DataFrame, vertices: DataFrame,
     # handful of partitions instead of spark.sql.shuffle.partitions-many
     # micro-tasks per iteration (at 10^12-doc scale the default takes over)
     n_edges = bidir.count()
+    if n_edges <= driver_threshold:
+        return _driver_union_find(bidir.collect(), vertices)
     n_parts = max(2, min(int(edges.sparkSession.conf.get(
         "spark.sql.shuffle.partitions")), n_edges // 50_000 + 2))
     bidir = bidir.repartition(n_parts, "src")

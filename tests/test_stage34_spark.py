@@ -165,7 +165,8 @@ class TestCCNonConvergence:
         verts = spark.createDataFrame([(i,) for i in range(12)], "id long")
         with warnings.catch_warnings(record=True) as caught:
             warnings.simplefilter("always")
-            connected_components(edges, verts, max_iter=1).collect()
+            connected_components(edges, verts, max_iter=1,
+                                 driver_threshold=0).collect()
         assert any("did not converge" in str(w.message) for w in caught)
 
     def test_long_chain_converges_within_budget(self, spark):
@@ -174,8 +175,28 @@ class TestCCNonConvergence:
         edges = spark.createDataFrame(
             [(i, i + 1) for i in range(11)], "src long, dst long")
         verts = spark.createDataFrame([(i,) for i in range(12)], "id long")
-        comp = connected_components(edges, verts, max_iter=10).collect()
+        comp = connected_components(edges, verts, max_iter=10,
+                                    driver_threshold=0).collect()
         assert {r.comp for r in comp} == {0}
+
+    def test_driver_union_find_matches_distributed(self, spark):
+        import random
+
+        from scikg_spark.pipeline.stage3 import connected_components
+
+        rng = random.Random(7)
+        edges = [(rng.randrange(40), rng.randrange(40)) for _ in range(30)]
+        e = spark.createDataFrame(edges, "src long, dst long")
+        v = spark.createDataFrame([(i,) for i in range(40)], "id long")
+        via_driver = {r.id: r.comp
+                      for r in connected_components(e, v).collect()}
+        distributed = {r.id: r.comp
+                       for r in connected_components(
+                           e, v, driver_threshold=0).collect()}
+        assert via_driver == distributed
+        # isolated vertices map to themselves on both paths
+        assert all(via_driver[i] == i for i in range(40)
+                   if all(i not in p for p in edges))
 
 
 class TestSnapshotVerify:
