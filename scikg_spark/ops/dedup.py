@@ -74,11 +74,17 @@ def q_minhash_dup_pairs(spark, sf_dir):
         .select("doc_id", "bk.band", "bk.key")
     )
     # bucket cap: a hot band key (boilerplate-heavy shingles) is dropped, not
-    # exploded quadratically — same guard as stage3.lsh_candidate_pairs
-    capped = banded.join(
-        banded.groupBy("band", "key").count()
-        .filter(F.col("count") <= _MAX_BUCKET).select("band", "key"),
-        ["band", "key"])
+    # exploded quadratically — same guard as stage3.lsh_candidate_pairs.
+    # Window count over the join's own (band, key) partitioning: the pair
+    # self-join reuses the exchange (one shuffle, not count+join's two)
+    from pyspark.sql.window import Window
+
+    capped = (
+        banded.withColumn(
+            "_n", F.count("*").over(Window.partitionBy("band", "key")))
+        .filter(F.col("_n") <= _MAX_BUCKET)
+        .drop("_n")
+    )
     left = capped.select("band", "key", F.col("doc_id").alias("doc_a"))
     right = capped.select("band", "key", F.col("doc_id").alias("doc_b"))
     return (
@@ -102,11 +108,17 @@ def q_ngram_jaccard_pairs(spark, sf_dir, threshold: float = 0.5):
     sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
     # hot-gram cap: a stop-bigram present in > _MAX_BUCKET docs of one
     # (lang, source) block is excluded from PAIR GENERATION (union sizes stay
-    # exact — computed from the uncapped grams above); mirrored in the oracle
-    capped = grams.join(
-        grams.groupBy("lang", "source", "gram").count()
-        .filter(F.col("count") <= _MAX_BUCKET).select("lang", "source", "gram"),
-        ["lang", "source", "gram"])
+    # exact — computed from the uncapped grams above); mirrored in the oracle.
+    # Window count on the join's own key partitioning (exchange reuse)
+    from pyspark.sql.window import Window
+
+    capped = (
+        grams.withColumn(
+            "_n",
+            F.count("*").over(Window.partitionBy("lang", "source", "gram")))
+        .filter(F.col("_n") <= _MAX_BUCKET)
+        .drop("_n")
+    )
     a = capped.select("lang", "source", F.col("doc_id").alias("doc_a"), "gram")
     b = capped.select("lang", "source", F.col("doc_id").alias("doc_b"), "gram")
     inter = (

@@ -90,10 +90,17 @@ def lsh_candidate_pairs(
     banded = sig.select("phrase_id", F.explode(F.array(*band_cols)).alias("bk")) \
                 .select("phrase_id", "bk.band", "bk.key")
     # cap bucket width: hot buckets (near-stopword phrases) are dropped, not
-    # exploded into O(n^2) pairs
-    sized = banded.join(
-        banded.groupBy("band", "key").count().filter(F.col("count") <= max_bucket),
-        ["band", "key"])
+    # exploded into O(n^2) pairs. The cap is a window count over the SAME
+    # (band, key) partitioning the self-join needs, so the join reuses the
+    # exchange — one shuffle where the count+guard-join form took two
+    from pyspark.sql.window import Window
+
+    sized = (
+        banded.withColumn(
+            "_n", F.count("*").over(Window.partitionBy("band", "key")))
+        .filter(F.col("_n") <= max_bucket)
+        .drop("_n")
+    )
     left = sized.select("band", "key", F.col("phrase_id").alias("src"))
     right = sized.select("band", "key", F.col("phrase_id").alias("dst"))
     return (
