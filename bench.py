@@ -20,6 +20,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def main():
+    # GC headroom for the 32-way cached-input passes (measured: 8g G1 loses
+    # ~20% to collection pressure vs 24g ParallelGC on this workload)
+    os.environ.setdefault("SCIKG_DRIVER_MEM", "24g")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", 0) or os.cpu_count() or 8)
     try:
@@ -30,8 +33,12 @@ def main():
     from scikg_spark.ops import dedup, kg, relational, similarity, text
     from scikg_spark.pipeline.session import get_spark
 
+    # shuffle partitions sized to the DATA (sf0.1 shuffles are KB-MB), not
+    # the core count — a production job at 10^3 x this volume would scale
+    # this up with the input (AQE's 64 MB advisory coalescing does the
+    # fine-tuning either way)
     spark = get_spark(app_name="scikg-bench", cores=cores,
-                      shuffle_partitions=max(cores * 2, 16))
+                      shuffle_partitions=16)
     queries = {
         "kg_pipeline": kg.kg_triples,
         "kg_top_facts": kg.kg_top_facts,

@@ -49,6 +49,10 @@ def main(argv=None):
                         help="spark.sql.execution.arrow.maxRecordsPerBatch")
     args = parser.parse_args(argv)
 
+    import os
+
+    os.environ.setdefault("SCIKG_DRIVER_MEM", "24g")
+
     from pyspark.sql import functions as F
 
     from scikg_spark.pipeline.fused import pages_to_tuples

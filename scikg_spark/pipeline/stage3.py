@@ -184,18 +184,21 @@ def connected_components(edges: DataFrame, vertices: DataFrame,
     Edge lists at or under ``driver_threshold`` rows short-circuit to a
     driver-side union-find — the same size rationale as a broadcast join
     (~16 B/edge: 1M edges is smaller than a typical broadcast table), and it
-    replaces tens of iterative-join Spark jobs with one collect. Web-scale
-    edge sets (over the threshold) take the distributed iterative path; pass
-    ``driver_threshold=0`` to force it."""
+    replaces tens of iterative-join Spark jobs with one probing collect
+    (``limit(threshold+1)`` stops early on big graphs, so the probe stays
+    cheap at web scale). Edge sets over the threshold take the distributed
+    iterative path; pass ``driver_threshold=0`` to force it."""
     bidir = edges.union(edges.select(F.col("dst").alias("src"),
                                      F.col("src").alias("dst")))
+    if driver_threshold:
+        probe = bidir.limit(driver_threshold + 1).collect()
+        if len(probe) <= driver_threshold:
+            return _driver_union_find(probe, vertices)
     bidir = bidir.localCheckpoint()
     # size the per-round shuffles to the actual edge count: tiny graphs get a
     # handful of partitions instead of spark.sql.shuffle.partitions-many
     # micro-tasks per iteration (at 10^12-doc scale the default takes over)
     n_edges = bidir.count()
-    if n_edges <= driver_threshold:
-        return _driver_union_find(bidir.collect(), vertices)
     n_parts = max(2, min(int(edges.sparkSession.conf.get(
         "spark.sql.shuffle.partitions")), n_edges // 50_000 + 2))
     bidir = bidir.repartition(n_parts, "src")
@@ -342,20 +345,24 @@ def link_entities(tuples: DataFrame, lsh_threshold: float = 0.8,
     component), n_phrases. phrase_map: phrase -> entity_id. ``synonyms``
     optionally contributes curated pair edges (phrase_a, phrase_b).
     """
+    from pyspark.sql.window import Window
+
     phrases = mention_phrases(tuples).cache()
-    # one groupBy serves both the exact star-edges and the LSH input: LSH
-    # runs over ONE representative per distinct norm (same-norm phrases are
-    # already connected by the star), which shrinks the shingle explode /
-    # signature agg / band self-join by the duplication factor — at web scale
-    # duplicate surface forms dominate the mention table
-    norm_groups = phrases.groupBy("norm").agg(F.min("phrase_id").alias("root"))
+    # ONE window pass serves both the exact star-edges and the LSH input
+    # (exchange reuse on the norm partitioning): LSH runs over ONE
+    # representative per distinct norm (same-norm phrases are already
+    # connected by the star), which shrinks the signature computation and
+    # band self-join by the duplication factor — at web scale duplicate
+    # surface forms dominate the mention table
+    with_root = phrases.withColumn(
+        "root", F.min("phrase_id").over(Window.partitionBy("norm")))
     edges = (
-        phrases.join(norm_groups, "norm")
-        .filter(F.col("phrase_id") != F.col("root"))
+        with_root.filter(F.col("phrase_id") != F.col("root"))
         .select(F.col("root").alias("src"), F.col("phrase_id").alias("dst"))
     )
     if use_lsh:
-        reps = norm_groups.select(F.col("root").alias("phrase_id"), "norm")
+        reps = with_root.filter(F.col("phrase_id") == F.col("root")) \
+                        .select("phrase_id", "norm")
         cand = lsh_candidate_pairs(reps)
         edges = edges.union(verify_jaccard(cand, reps, threshold=lsh_threshold))
     if synonyms is not None:
