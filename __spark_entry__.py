@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_langid": text.q_langid,
         "q_token_regex": text.q_token_regex,
         "q_winnow_fingerprints": text.q_winnow_fingerprints,
+        "q_repetition_stats": text.q_repetition_stats,
         # deduplication
         "q_dedup_exact": dedup.q_dedup_exact,
         "q_minhash_dup_pairs": dedup.q_minhash_dup_pairs,
@@ -90,6 +91,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multimodal plumbing (decode stubbed behind a deterministic fake
         # container; rows-only)
         "q_media_features": multimodal.q_media_features,
+        "q_frame_sample_stats": multimodal.q_frame_sample_stats,
         # KG construction (rows-only: decode semantics are non-SQL; their
         # oracle is the reference decode, gated in pytest)
         "kg_triples": kg.kg_triples,

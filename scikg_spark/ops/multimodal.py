@@ -229,3 +229,48 @@ ORACLE = {
         JOIN hist h ON h.doc_id = s.doc_id AND h.kind = s.kind
     """,
 }
+
+
+def q_frame_sample_stats(spark, sf_dir, every: int = 4):
+    """Driver-contract query #2: synth media -> audio frame sampling (the
+    video-frame-sampling shape) -> per-doc stats over the sampled frames.
+    Fully oracle-checked — the sampled positions are deterministic functions
+    of the md5-derived fake container."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    frames = sample_frames(build_media_table(docs), every=every)
+    n = F.size("samples")
+    total = F.expr("aggregate(samples, cast(0.0 as double), (a, x) -> a + x)")
+    return frames.select(
+        "doc_id",
+        n.cast("long").alias("n_samples"),
+        F.round(total / n.cast("double"), 4).alias("mean_r"),
+    ).orderBy("doc_id")
+
+
+# audio body byte g.i is digest byte (g.i % 16) of md5('audio:' || doc_id);
+# sampling keeps positions g.i % every == 0 below width = 8 + digest[0] % 24
+ORACLE["q_frame_sample_stats"] = """
+    WITH media AS (
+        SELECT doc_id, md5('audio:' || doc_id) AS hx FROM documents
+    ),
+    bytes AS (
+        SELECT doc_id, j.i AS j,
+               (instr('0123456789abcdef', substring(hx, 2 * j.i + 1, 1)) - 1) * 16
+               + (instr('0123456789abcdef', substring(hx, 2 * j.i + 2, 1)) - 1)
+                   AS b
+        FROM media CROSS JOIN generate_series(0, 15) AS j(i)
+    ),
+    dims AS (
+        SELECT m.doc_id, 8 + b0.b % 24 AS width
+        FROM media m JOIN bytes b0 ON b0.doc_id = m.doc_id AND b0.j = 0
+    ),
+    samp AS (
+        SELECT d.doc_id, by.b AS byte
+        FROM dims d
+        CROSS JOIN generate_series(0, 31) AS g(i)
+        JOIN bytes by ON by.doc_id = d.doc_id AND by.j = g.i % 16
+        WHERE g.i < d.width AND g.i % 4 = 0
+    )
+    SELECT doc_id, count(*) AS n_samples, round(avg(byte), 4) AS mean_r
+    FROM samp GROUP BY doc_id ORDER BY doc_id
+"""

@@ -186,6 +186,46 @@ def q_winnow_fingerprints(spark, sf_dir, k: int = 8, window: int = 4):
     )
 
 
+def q_repetition_stats(spark, sf_dir, threshold: float = 0.2):
+    """Within-document repetition (the Gopher-style quality rule): fraction
+    of duplicate word bigrams = 1 - distinct/total. Pure JVM array math —
+    no explode, no shuffle before the final projection; the flag column is
+    the filter a training-data pipeline applies before dedup."""
+    from scikg_spark.ops.dedup import _word_shingles
+
+    docs = _docs(spark, sf_dir).filter(F.size(F.split("text", " ")) >= 2)
+    g = docs.select("doc_id", _word_shingles(2).alias("g"))
+    n = F.size("g")
+    nd = F.size(F.array_distinct("g"))
+    return g.select(
+        "doc_id",
+        n.cast("long").alias("n_grams"),
+        F.round(F.lit(1.0) - nd / n.cast("double"), 4).alias("dup_frac"),
+        (F.round(F.lit(1.0) - nd / n.cast("double"), 4) >= threshold)
+        .alias("flagged"),
+    )
+
+
+def _sql_bigrams() -> str:
+    toks = "string_split(text, ' ')"
+    return (f"list_transform(generate_series(1, len({toks}) - 1), "
+            f"i -> array_to_string({toks}[i:i+1], ' '))")
+
+
+ORACLE["q_repetition_stats"] = f"""
+    WITH g AS (
+        SELECT doc_id, {_sql_bigrams()} AS g
+        FROM documents WHERE len(string_split(text, ' ')) >= 2
+    )
+    SELECT doc_id,
+           CAST(len(g) AS BIGINT) AS n_grams,
+           round(1.0 - len(list_distinct(g)) * 1.0 / len(g), 4) AS dup_frac,
+           round(1.0 - len(list_distinct(g)) * 1.0 / len(g), 4) >= 0.2
+               AS flagged
+    FROM g
+"""
+
+
 ORACLE["q_winnow_fingerprints"] = f"""
     WITH hashes AS (
         SELECT doc_id, i AS pos, length(text) - 8 + 1 AS max_pos,
