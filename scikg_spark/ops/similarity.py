@@ -7,10 +7,10 @@ that turns the O(n^2) pair space into equi-joins on (table, bucket) keys —
 the same blocking discipline as stage 3 — with a bucket-width cap so a hot
 bucket cannot explode quadratically.
 
-Plane weights derive from xxhash64 of the (table, plane, dim-index) string,
-computed INSIDE the array expression via ``zip_with(embedding, sequence(...))``
-— executors need no shared state and the plan needs no driver-side dim probe
-(no job runs at plan-build time).
+Plane weights are plan-time md5-derived literal arrays (``_plane_weights``)
+sliced to each row's dim — executors need no shared state, no job runs at
+plan-build time, rows pay one multiply-add per component, and the weights
+are engine-neutral so the DuckDB oracles reproduce the buckets exactly.
 """
 
 from __future__ import annotations
@@ -30,15 +30,33 @@ def _cosine(a: str, b: str) -> str:
             f"(sqrt({_DOT.format(a=a, b=a)}) * sqrt({_DOT.format(a=b, b=b)}))")
 
 
+# Hyperplane weights are PLAN-TIME literal arrays, not per-row hash calls:
+# md5-derived in Python at plan-build time (deterministic, engine-neutral —
+# the DuckDB oracles embed the SAME literals), folded once by Tungsten, and
+# sliced to the row's dim so no plan-time dim probe is needed. Rows pay one
+# multiply-add per component instead of one 64-bit hash per component.
+_MAX_DIM = 256
+
+
+def _plane_weights(p: int, prefix: str = "") -> list[float]:
+    """Component weights of pseudo-random plane ``p``: the first 4 hex
+    digits of md5('{prefix}plane{p}:{i}') / 65536 - 0.5 — exact dyadic
+    doubles, so their decimal literals parse identically on both engines."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"{prefix}plane{p}:{i}".encode()).hexdigest()[:4], 16)
+        / 65536.0 - 0.5
+        for i in range(_MAX_DIM)
+    ]
+
+
 def _plane_dot(p: int, prefix: str = "") -> str:
-    """Dot product of ``embedding`` with pseudo-random plane ``p``: component
-    i is xxhash64('{prefix}plane{p}:{i}') % 1000 / 1000 — dim-agnostic (the
-    index comes from ``sequence(0, size-1)``, so no plan-time dim probe)."""
+    w = ", ".join(repr(v) for v in _plane_weights(p, prefix))
     return (
-        "aggregate(zip_with(embedding, sequence(0, size(embedding) - 1), "
-        "(x, i) -> cast(x as double) * "
-        f"(cast(xxhash64(concat('{prefix}plane{p}:', cast(i as string))) % 1000 "
-        "as double) / 1000.0)), cast(0.0 as double), (acc, v) -> acc + v)")
+        f"aggregate(zip_with(embedding, slice(array({w}), 1, size(embedding)), "
+        "(x, wv) -> cast(x as double) * wv), "
+        "cast(0.0 as double), (acc, v) -> acc + v)")
 
 
 def _bucket_col(n_planes: int, prefix: str = ""):
@@ -100,7 +118,8 @@ def lsh_bucketed(emb, n_tables: int = 1, n_planes: int = 8):
 
 def q_ann_lsh_buckets(spark, sf_dir, n_planes: int = 8):
     """Random-hyperplane LSH bucket histogram (buckets holding >1 vector).
-    Rows-only check (not SQL-expressible without the same hash function)."""
+    Fully oracle-checked: the plane weights are literals shared with the
+    DuckDB SQL, so both engines compute identical buckets."""
     bucketed = lsh_bucketed(_emb(spark, sf_dir), n_tables=1, n_planes=n_planes)
     return (
         bucketed.groupBy("bucket")
@@ -286,6 +305,27 @@ ORACLE = {
               >= 0.95
     """,
 }
+
+
+def _duck_plane_dot(p: int) -> str:
+    """DuckDB dot of ``embedding`` with plane ``p`` — THE SAME literal
+    weights as the Spark side (generated by the same Python)."""
+    w = ", ".join(repr(v) for v in _plane_weights(p))
+    return (f"list_dot_product(list_transform(embedding, "
+            f"x -> CAST(x AS DOUBLE)), ([{w}])[1:len(embedding)])")
+
+
+ORACLE["q_ann_lsh_buckets"] = f"""
+    WITH bucketed AS (
+        SELECT vec_id,
+               {" || ".join(f"(CASE WHEN {_duck_plane_dot(p)} >= 0 "
+                            f"THEN '1' ELSE '0' END)" for p in range(8))}
+                   AS bucket
+        FROM embeddings
+    )
+    SELECT bucket, count(*) AS n_vecs
+    FROM bucketed GROUP BY bucket HAVING count(*) > 1
+"""
 
 
 def _duck_cos(a: str, b: str) -> str:
