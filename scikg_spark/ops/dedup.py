@@ -18,12 +18,31 @@ check the capped semantics."""
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import functions as F
 
 _N_HASHES = 8
 _BAND_SIZE = 2
 # a blocking key seen in more than this many docs is dropped, not self-joined
 _MAX_BUCKET = 64
+
+# MinHash via ONE md5 per distinct shingle + N_HASHES Carter-Wegman mixes
+# ((a*h + b) mod P over the 32-bit md5 prefix) instead of N_HASHES md5 calls
+# per shingle — 8x less hashing, and the mix constants are md5-derived
+# Python literals embedded in BOTH engines' SQL, so the duel still checks
+# the whole scheme. a*h < 2^31 * 2^32 < 2^63: plain bigint math agrees.
+_MINHASH_P = 2_147_483_647
+
+
+def _mix_consts(i: int) -> tuple[int, int]:
+    d = hashlib.md5(f"minhash-mix:{i}".encode()).digest()
+    a = int.from_bytes(d[:4], "big") % (_MINHASH_P - 1) + 1
+    b = int.from_bytes(d[4:8], "big") % _MINHASH_P
+    return a, b
+
+
+_MIX = [_mix_consts(i) for i in range(_N_HASHES)]
 
 
 def _docs(spark, sf_dir):
@@ -51,17 +70,21 @@ def _word_shingles(k: int):
 def q_minhash_dup_pairs(spark, sf_dir):
     """Candidate near-duplicate pairs: docs sharing >= 1 LSH band."""
     # signatures in place via array expressions: no shingle explode, no
-    # distinct shuffle — min(md5) over the distinct shingle array equals the
+    # distinct shuffle — min over the distinct shingle array equals the
     # exploded form row-for-row (docs with < 3 words have no signature, same
-    # as the oracle's len >= 3 guard)
+    # as the oracle's len >= 3 guard). One md5 per shingle, then the cheap
+    # Carter-Wegman mixes derive all N_HASHES values.
     sig = (
         _docs(spark, sf_dir)
         .select("doc_id", F.array_distinct(_word_shingles(3)).alias("sh"))
         .filter(F.size("sh") > 0)
+        .select("doc_id", F.expr(
+            "transform(sh, s -> cast(conv(substring(md5(s), 1, 8), 16, 10) "
+            "as bigint))").alias("hb"))
         .select("doc_id", *[
-            F.expr(f"array_min(transform(sh, s -> md5(concat('s{i}:', s))))")
-            .alias(f"h{i}")
-            for i in range(_N_HASHES)
+            F.expr(f"array_min(transform(hb, h -> "
+                   f"({a} * h + {b}) % {_MINHASH_P}))").alias(f"h{i}")
+            for i, (a, b) in enumerate(_MIX)
         ])
     )
     bands = []
@@ -191,11 +214,16 @@ ORACLE = {
             SELECT DISTINCT doc_id, unnest({_sql_shingles(3)}) AS shingle
             FROM documents WHERE len(string_split(text, ' ')) >= 3
         ),
+        based AS (
+            SELECT doc_id,
+                   ('0x' || substring(md5(shingle), 1, 8))::BIGINT AS h
+            FROM shingled
+        ),
         sig AS (
             SELECT doc_id,
-                   {', '.join(f"min(md5('s{i}:' || shingle)) AS h{i}"
-                              for i in range(_N_HASHES))}
-            FROM shingled GROUP BY doc_id
+                   {', '.join(f"min(({a} * h + {b}) % {_MINHASH_P}) AS h{i}"
+                              for i, (a, b) in enumerate(_MIX))}
+            FROM based GROUP BY doc_id
         ),
         banded AS (
             {' UNION ALL '.join(
