@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entity_nodes": kg.kg_entity_nodes,
         "kg_entity_edges": kg.kg_entity_edges,
         "kg_statement_stats": kg.kg_statement_stats,
+        "kg_entity_cooccurrence": kg.kg_entity_cooccurrence,
     }
     return {name: wrap(fn) for name, fn in qs.items()}
 

@@ -103,6 +103,28 @@ def kg_entity_edges(spark, sf_dir):
     )
 
 
+def kg_entity_cooccurrence(spark, sf_dir, min_support: int = 2):
+    """Graph analytics over the materialized edges: canonical entity pairs
+    that co-occur as (subject, object) across statements, with support and
+    the dominant predicate — the 'which concepts relate, and how' query a
+    KG consumer runs first. Pure aggregation over the shared linking pass
+    (no new extraction or linking work)."""
+    edges = kg_entity_edges(spark, sf_dir)
+    paired = edges.filter(
+        F.col("subj_entity").isNotNull() & F.col("obj_entity").isNotNull())
+    per_pred = (
+        paired.groupBy("subj_entity", "obj_entity", "pred")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return (
+        per_pred.groupBy("subj_entity", "obj_entity")
+        .agg(F.sum("cnt").alias("support"),
+             F.expr("max_by(pred, named_struct('c', cnt, 'p', pred))")
+             .alias("top_pred"))
+        .filter(F.col("support") >= min_support)
+    )
+
+
 def kg_statement_stats(spark, sf_dir):
     """Per-document extraction statistics (correction-chain observability)."""
     t = _tuples(spark, sf_dir)
