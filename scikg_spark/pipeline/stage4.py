@@ -73,11 +73,28 @@ class SnapshotCatalog:
         ]
 
     # -- write / read -----------------------------------------------------
+    def _snapshot_ids(self, table: str) -> list[int]:
+        """Committed snapshot ids, from the per-snapshot manifest history."""
+        tdir = self._table_dir(table)
+        if not os.path.isdir(tdir):
+            return []
+        ids = []
+        for name in os.listdir(tdir):
+            if name.startswith("manifest-") and name.endswith(".json"):
+                try:
+                    ids.append(int(name[len("manifest-"):-len(".json")]))
+                except ValueError:
+                    pass
+        return sorted(ids)
+
     def write(self, df: DataFrame, table: str, partition_by=(),
               with_lineage: bool = True) -> dict:
         t0 = time.time()
         prev = self.manifest(table)
-        snap_id = (prev["snapshot_id"] + 1) if prev else 1
+        # next id = max over ALL committed snapshots (not just the current
+        # pointer) so a write after rollback() never overwrites history
+        existing = self._snapshot_ids(table)
+        snap_id = max([prev["snapshot_id"] if prev else 0] + existing) + 1
         snap_dir = os.path.join(self._table_dir(table), f"snap-{snap_id}")
         writer = df.write.mode("overwrite")
         if partition_by:
@@ -95,19 +112,59 @@ class SnapshotCatalog:
             "wall_ms": int((time.time() - t0) * 1000),
             "parent": prev["snapshot_id"] if prev else None,
         }
-        tmp = self._manifest_path(table) + ".tmp"
         os.makedirs(self._table_dir(table), exist_ok=True)
+        # immutable per-snapshot manifest first (the history record), then
+        # the current pointer — the pointer replace is the atomic commit
+        hist = os.path.join(self._table_dir(table), f"manifest-{snap_id}.json")
+        with open(hist + ".tmp", "w") as f:
+            json.dump(manifest, f, indent=1)
+        os.replace(hist + ".tmp", hist)
+        tmp = self._manifest_path(table) + ".tmp"
         with open(tmp, "w") as f:
             json.dump(manifest, f, indent=1)
         os.replace(tmp, self._manifest_path(table))  # atomic commit point
         return manifest
 
-    def read(self, table: str) -> DataFrame:
-        m = self.manifest(table)
-        if not m or m.get("status") != "committed":
-            raise FileNotFoundError(f"table {table!r} has no committed snapshot")
-        snap_dir = os.path.join(self._table_dir(table), f"snap-{m['snapshot_id']}")
+    def read(self, table: str, snapshot_id: int | None = None) -> DataFrame:
+        """Read the current snapshot, or TIME TRAVEL to ``snapshot_id``
+        (any snapshot in the history — old snap dirs are immutable)."""
+        if snapshot_id is None:
+            m = self.manifest(table)
+            if not m or m.get("status") != "committed":
+                raise FileNotFoundError(
+                    f"table {table!r} has no committed snapshot")
+            snapshot_id = m["snapshot_id"]
+        elif snapshot_id not in self._snapshot_ids(table):
+            raise FileNotFoundError(
+                f"table {table!r} has no committed snapshot {snapshot_id}")
+        snap_dir = os.path.join(self._table_dir(table), f"snap-{snapshot_id}")
         return self.spark.read.parquet(snap_dir)
+
+    def history(self, table: str) -> list[dict]:
+        """All committed snapshot manifests, oldest first (Iceberg
+        ``table.history()`` shape: id, parent, rows, lineage)."""
+        out = []
+        for sid in self._snapshot_ids(table):
+            with open(os.path.join(self._table_dir(table),
+                                   f"manifest-{sid}.json")) as f:
+                out.append(json.load(f))
+        return out
+
+    def rollback(self, table: str, snapshot_id: int) -> dict:
+        """Repoint the table to an older snapshot (atomic pointer swap; no
+        data is rewritten, and later writes get fresh ids — history keeps
+        the abandoned snapshots)."""
+        if snapshot_id not in self._snapshot_ids(table):
+            raise FileNotFoundError(
+                f"table {table!r} has no committed snapshot {snapshot_id}")
+        with open(os.path.join(self._table_dir(table),
+                               f"manifest-{snapshot_id}.json")) as f:
+            manifest = json.load(f)
+        tmp = self._manifest_path(table) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1)
+        os.replace(tmp, self._manifest_path(table))
+        return manifest
 
     def write_metrics(self, stage: str, payload: dict):
         """Append a stage-level metrics record (the `_metrics` table)."""

@@ -84,6 +84,26 @@ class TestSnapshots:
         assert m2["snapshot_id"] == 2 and m2["parent"] == 1
         assert cat.read("t").count() == 7
 
+    def test_time_travel_history_rollback(self, spark, tmp_path):
+        cat = SnapshotCatalog(spark, str(tmp_path))
+        cat.write(spark.range(5), "t")
+        cat.write(spark.range(9), "t")
+        # time travel: every committed snapshot stays readable
+        assert cat.read("t").count() == 9
+        assert cat.read("t", snapshot_id=1).count() == 5
+        hist = cat.history("t")
+        assert [m["snapshot_id"] for m in hist] == [1, 2]
+        assert hist[1]["parent"] == 1
+        # rollback is a pointer swap; data untouched
+        cat.rollback("t", 1)
+        assert cat.read("t").count() == 5
+        # a write after rollback gets a FRESH id (snap-2 is never clobbered)
+        m3 = cat.write(spark.range(3), "t")
+        assert m3["snapshot_id"] == 3 and m3["parent"] == 1
+        assert cat.read("t", snapshot_id=2).count() == 9
+        with pytest.raises(FileNotFoundError):
+            cat.read("t", snapshot_id=99)
+
     def test_incomplete_table_not_readable(self, spark, tmp_path):
         cat = SnapshotCatalog(spark, str(tmp_path))
         os.makedirs(tmp_path / "broken" / "snap-1")
