@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lineitem_rollup": relational.q_lineitem_rollup,
         "q_customers_without_orders": relational.q_customers_without_orders,
         "q_active_customers": relational.q_active_customers,
+        "q_price_percentiles": relational.q_price_percentiles,
         # text analysis
         "q_token_counts": text.q_token_counts,
         "q_quality": text.q_quality,

@@ -370,3 +370,30 @@ ORACLE.update({
                             WHERE o_totalprice > 1000.0)
     """,
 })
+
+
+def q_price_percentiles(spark, sf_dir):
+    """Exact-percentile aggregation coverage: median / p90 extended price
+    per return flag. Spark ``percentile`` and DuckDB ``percentile_cont``
+    use the same linear interpolation, so values duel exactly (rounded).
+    At scale the exact percentile is a sort-based aggregate — acceptable
+    per-group; use approx_percentile when a sketch is enough."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"),
+             F.round(F.expr("percentile(l_extendedprice, 0.5)"), 2)
+             .alias("p50"),
+             F.round(F.expr("percentile(l_extendedprice, 0.9)"), 2)
+             .alias("p90"))
+    )
+
+
+ORACLE["q_price_percentiles"] = """
+    SELECT l_returnflag, count(*) AS n,
+           round(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice), 2)
+               AS p50,
+           round(percentile_cont(0.9) WITHIN GROUP (ORDER BY l_extendedprice), 2)
+               AS p90
+    FROM lineitem GROUP BY l_returnflag
+"""
