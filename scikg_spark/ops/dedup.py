@@ -123,9 +123,17 @@ def q_ngram_jaccard_pairs(spark, sf_dir, threshold: float = 0.5):
     Pairs form via equi-join on (block, bigram), intersection counts by
     group-by, union sizes from per-doc distinct counts."""
     docs = _docs(spark, sf_dir).filter(F.size(F.split("text", " ")) >= 2)
+    # grams shuffle as 60-bit ints (md5-prefix hash, engine-neutral), not
+    # ~15-char strings: the distinct / window-cap / self-join shuffles carry
+    # 8-byte keys. 60 bits ≈ zero collisions at any per-block gram count
+    # that survives the cap — and the oracle hashes identically, so the
+    # duel checks the hashed scheme end to end.
     grams = (
         docs.select("doc_id", "lang", "source",
                     F.explode(_word_shingles(2)).alias("gram"))
+        .select("doc_id", "lang", "source",
+                F.expr("cast(conv(substring(md5(gram), 1, 15), 16, 10) "
+                       "as bigint)").alias("gram_h"))
         .distinct()
     )
     sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
@@ -138,14 +146,14 @@ def q_ngram_jaccard_pairs(spark, sf_dir, threshold: float = 0.5):
     capped = (
         grams.withColumn(
             "_n",
-            F.count("*").over(Window.partitionBy("lang", "source", "gram")))
+            F.count("*").over(Window.partitionBy("lang", "source", "gram_h")))
         .filter(F.col("_n") <= _MAX_BUCKET)
         .drop("_n")
     )
-    a = capped.select("lang", "source", F.col("doc_id").alias("doc_a"), "gram")
-    b = capped.select("lang", "source", F.col("doc_id").alias("doc_b"), "gram")
+    a = capped.select("lang", "source", F.col("doc_id").alias("doc_a"), "gram_h")
+    b = capped.select("lang", "source", F.col("doc_id").alias("doc_b"), "gram_h")
     inter = (
-        a.join(b, ["lang", "source", "gram"])
+        a.join(b, ["lang", "source", "gram_h"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_common"))
@@ -242,24 +250,29 @@ ORACLE = {
           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
     """,
     "q_ngram_jaccard_pairs": f"""
-        WITH grams AS (
-            SELECT DISTINCT doc_id, lang, source,
+        WITH raw_grams AS (
+            SELECT doc_id, lang, source,
                    unnest({_sql_shingles(2)}) AS gram
             FROM documents WHERE len(string_split(text, ' ')) >= 2
+        ),
+        grams AS (
+            SELECT DISTINCT doc_id, lang, source,
+                   ('0x' || substring(md5(gram), 1, 15))::BIGINT AS gram_h
+            FROM raw_grams
         ),
         sizes AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id),
         kept AS (
             SELECT g.* FROM grams g
-            JOIN (SELECT lang, source, gram FROM grams GROUP BY 1, 2, 3
+            JOIN (SELECT lang, source, gram_h FROM grams GROUP BY 1, 2, 3
                   HAVING count(*) <= {_MAX_BUCKET}) cap
               ON g.lang = cap.lang AND g.source = cap.source
-             AND g.gram = cap.gram
+             AND g.gram_h = cap.gram_h
         ),
         inter AS (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
             FROM kept a JOIN kept b
               ON a.lang = b.lang AND a.source = b.source
-             AND a.gram = b.gram AND a.doc_id < b.doc_id
+             AND a.gram_h = b.gram_h AND a.doc_id < b.doc_id
             GROUP BY 1, 2
         )
         SELECT doc_a, doc_b,
