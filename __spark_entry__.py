@@ -93,8 +93,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # container; rows-only)
         "q_media_features": multimodal.q_media_features,
         "q_frame_sample_stats": multimodal.q_frame_sample_stats,
-        # KG construction (rows-only: decode semantics are non-SQL; their
-        # oracle is the reference decode, gated in pytest)
+        # KG construction. Extraction/linking queries are rows-only (decode
+        # semantics are non-SQL; their oracle is the reference decode, gated
+        # in pytest); the downstream aggregations read the materialized
+        # tuples/edges parquet and carry DuckDB mirrors (kg.ORACLE).
         "kg_triples": kg.kg_triples,
         "kg_top_facts": kg.kg_top_facts,
         "kg_entity_nodes": kg.kg_entity_nodes,
@@ -106,9 +108,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from scikg_spark.ops import dedup, multimodal, relational, similarity, text
+    from scikg_spark.ops import dedup, kg, multimodal, relational, similarity, text
 
     out: dict[str, str] = {}
-    for module in (relational, text, dedup, similarity, multimodal):
+    for module in (relational, text, dedup, similarity, multimodal, kg):
         out.update(module.ORACLE)
     return out

@@ -5,7 +5,12 @@ and prints ONE JSON line.
 Headline = the fused KG-extraction pipeline (triples/sec is THE BASELINE.json
 metric) + stage-3 entity linking + the dedup/similarity/text/relational ops.
 Each query is timed to full materialization (count) at $SPARK_GRAFT_SF_DIR,
-after one warmup pass PER QUERY at sf0.001 — the warmup excludes
+REPEATED $SPARK_GRAFT_REPS times (default 3) with the MEDIAN reported
+per query (plus min in "queries_min") — this VM's CPU drifts 2-5x with host
+neighbors, so a single-shot timing can report a 7x outlier for an unchanged
+plan (BENCH_r02's two 28 s rows were exactly that). Median-of-3 makes one
+host stall per query harmless. Timing runs after one warmup pass PER QUERY
+at sf0.001 — the warmup excludes
 Python-worker cold start and whole-stage-codegen JIT (the same exclusion
 bench_scaling applies; ~10 s of one-time JIT otherwise lands inside whatever
 query compiles its plan shapes first, which says nothing about steady-state
@@ -53,6 +58,7 @@ def main():
         "dedup_exact": dedup.q_dedup_exact,
         "dedup_minhash": dedup.q_minhash_dup_pairs,
         "dedup_ngram_jaccard": dedup.q_ngram_jaccard_pairs,
+        "dedup_keep_policy": dedup.q_dedup_keep_policy,
         "sim_cosine_topk": similarity.q_cosine_topk,
         "sim_ann_ivf": similarity.q_ann_ivf_topk,
         "text_quality": text.q_quality,
@@ -60,6 +66,7 @@ def main():
         "rel_pricing_summary": relational.q_pricing_summary,
         "rel_top_customer": relational.q_top_customer_revenue,
     }
+    reps = int(os.environ.get("SPARK_GRAFT_REPS", "3"))
     try:
         # warm python workers + codegen for every timed plan shape (sf0.001:
         # same plans, disjoint data/caches)
@@ -67,11 +74,26 @@ def main():
             fn(spark, "/root/testdata/sf0.001").count()
 
         timings: dict[str, float] = {}
+        timings_min: dict[str, float] = {}
         counts: dict[str, int] = {}
         for name, fn in queries.items():
-            t0 = time.time()
-            counts[name] = fn(spark, sf_dir).count()
-            timings[name] = round(time.time() - t0, 3)
+            samples: list[float] = []
+            for _ in range(reps):
+                if name == "kg_pipeline":
+                    # every rep re-pays the full extraction: triples/sec is
+                    # THE baseline metric, so it must never time a cache read
+                    kg.clear_caches(spark)
+                elif name == "kg_entity_nodes":
+                    # re-pay the stage-3 linking pass (LSH + CC) every rep;
+                    # the shared extraction stays warm — that split is what
+                    # this row measures (agg-over-materialized-tuples)
+                    kg.clear_caches(spark, which="link")
+                t0 = time.time()
+                counts[name] = fn(spark, sf_dir).count()
+                samples.append(time.time() - t0)
+            samples.sort()
+            timings[name] = round(samples[len(samples) // 2], 3)
+            timings_min[name] = round(samples[0], 3)
 
         total = round(sum(timings.values()), 3)
         print(json.dumps({
@@ -80,7 +102,9 @@ def main():
             "unit": "sec",
             "sf": sf,
             "cores": cores,
+            "reps": reps,
             "queries": timings,
+            "queries_min": timings_min,
             "rows": counts,
             "triples": counts["kg_pipeline"],
             "triples_per_sec": round(counts["kg_pipeline"] / timings["kg_pipeline"], 1),

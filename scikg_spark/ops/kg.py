@@ -1,36 +1,111 @@
-"""KG-construction queries over the synthesized pages corpus (rows-only
-driver checks: tag decoding is not SQL-expressible — the oracle for these is
-the pure-Python reference decode, gated in tests/test_pipeline_spark.py)."""
+"""KG-construction queries over the synthesized pages corpus.
+
+The extraction/linking queries (kg_triples, kg_entity_nodes, kg_entity_edges)
+are rows-only driver checks: tag decoding is not SQL-expressible — their
+oracle is the pure-Python reference decode, gated in
+tests/test_pipeline_spark.py (P=R=1.0 on the shipped eval corpus).
+
+The downstream graph AGGREGATIONS (kg_top_facts, kg_statement_stats,
+kg_entity_cooccurrence) read a MATERIALIZED parquet of the gated extraction
+outputs (``materialize_kg_tables``) and are therefore plain SQL — each
+carries a DuckDB mirror over the same parquet files, so the aggregation
+logic duels like every relational query. This mirrors the production shape:
+at 10^12 docs the tuples/edges tables are stage-boundary snapshots in the
+catalog, and all graph analytics scan those snapshots, never the extraction
+lineage.
+"""
 
 from __future__ import annotations
 
+import hashlib
 import os
 
 from pyspark.sql import functions as F
 
-from scikg_spark.pipeline.fused import pages_to_tuples
-from scikg_spark.pipeline.stage1 import build_pages_from_documents
-from scikg_spark.pipeline.stage3 import link_entities
-
 # One extraction pass per (application, corpus): every kg_* query reads the
 # same cached tuples frame instead of re-running the Arrow extraction UDF.
-# This is the in-session form of the stage-boundary materialization the
-# runner does with catalog snapshots — at 10^12-doc scale the tuples table is
-# checkpointed storage, not a recomputed lineage, and all downstream graph
-# queries scan it.
-_TUPLES_CACHE: dict[tuple[str, str], object] = {}
-_LINK_CACHE: dict[tuple[str, str], object] = {}
+# Keys carry the source file's (size, mtime) so a rewritten corpus parquet is
+# never served stale; ``clear_caches`` unpersists and evicts everything.
+_TUPLES_CACHE: dict[tuple, object] = {}
+_LINK_CACHE: dict[tuple, object] = {}
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_MAT_ROOT = os.path.join(_REPO_ROOT, "checkpoints", "kg_materialized")
+
+# phrase_map row-count threshold below which the entity-attach join
+# broadcasts the map (hash join, no shuffle of the big tuples side); above
+# it, the documented salted-join skew path spreads hot mentions
+# ("patients"-like surface forms) across reducers.
+BROADCAST_MAP_ROWS = 2_000_000
+
+
+def _src_stamp(sf_dir: str) -> tuple:
+    """(size, mtime) stamp of the corpus parquet — part of every cache key
+    and of the materialization fingerprint, so a rewritten input invalidates
+    both within one Spark application."""
+    path = os.path.join(sf_dir, "documents.parquet")
+    stats = []
+    if os.path.isdir(path):
+        for name in sorted(os.listdir(path)):
+            p = os.path.join(path, name)
+            if os.path.isfile(p):
+                st = os.stat(p)
+                stats.append((name, st.st_size, int(st.st_mtime)))
+    elif os.path.isfile(path):
+        st = os.stat(path)
+        stats.append((os.path.basename(path), st.st_size, int(st.st_mtime)))
+    return tuple(stats)
 
 
 def _key(spark, sf_dir):
-    return (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    return (spark.sparkContext.applicationId, os.path.abspath(sf_dir),
+            _src_stamp(sf_dir))
+
+
+def clear_caches(spark=None, which: str = "all") -> None:
+    """Evict the per-corpus tuples/link caches and unpersist their frames
+    (frees executor storage; the next kg_* call re-extracts). ``which`` is
+    'all', 'tuples', or 'link' — e.g. bench clears only 'link' to re-time
+    the stage-3 linking pass while keeping the shared extraction warm."""
+    caches = {"all": (_TUPLES_CACHE, _LINK_CACHE),
+              "tuples": (_TUPLES_CACHE,), "link": (_LINK_CACHE,)}[which]
+    for cache in caches:
+        for key in list(cache):
+            val = cache.pop(key)
+            frames = val if isinstance(val, tuple) else (val,)
+            for frame in frames:
+                try:
+                    frame.unpersist()
+                except Exception:
+                    pass
+
+
+def _evict_stale(spark, cache: dict, key: tuple, sf_dir: str) -> None:
+    """Drop cache entries for the same (app, path) with an OUTDATED source
+    stamp. Unpersisting alone is not enough: Spark's CacheManager matches a
+    re-read of the same path to the old cached plan by canonicalized-plan
+    equality, so the path's cached data + file listing must be refreshed."""
+    stale = [k for k in cache if k[:2] == key[:2] and k != key]
+    for k in stale:
+        val = cache.pop(k)
+        for frame in (val if isinstance(val, tuple) else (val,)):
+            try:
+                frame.unpersist()
+            except Exception:
+                pass
+    if stale:
+        spark.catalog.refreshByPath(f"{sf_dir}/documents.parquet")
 
 
 def _tuples(spark, sf_dir):
+    from scikg_spark.pipeline.fused import pages_to_tuples
+    from scikg_spark.pipeline.stage1 import build_pages_from_documents
+
     key = _key(spark, sf_dir)
     cached = _TUPLES_CACHE.get(key)
     if cached is not None:
         return cached
+    _evict_stale(spark, _TUPLES_CACHE, key, sf_dir)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     pages = build_pages_from_documents(docs)
     t = pages_to_tuples(pages).cache()
@@ -42,10 +117,13 @@ def _linked(spark, sf_dir):
     """Entity linking shared between kg_entity_nodes and kg_entity_edges —
     one LSH + connected-components pass, checkpointed, both queries read it
     (the runner materializes the same pair of tables as stage-3 snapshots)."""
+    from scikg_spark.pipeline.stage3 import link_entities
+
     key = _key(spark, sf_dir)
     cached = _LINK_CACHE.get(key)
     if cached is not None:
         return cached
+    _evict_stale(spark, _LINK_CACHE, key, sf_dir)
     nodes, phrase_map = link_entities(_tuples(spark, sf_dir))
     pair = (nodes.localCheckpoint(), phrase_map.localCheckpoint())
     _LINK_CACHE[key] = pair
@@ -58,11 +136,102 @@ def kg_triples(spark, sf_dir):
         "doc_id", "stmt_id", "kind", "tuple_idx", "subj", "pred", "obj")
 
 
+def attach_entities(tuples, phrase_map, broadcast_threshold: int = BROADCAST_MAP_ROWS):
+    """Join subject/object entity ids onto the tuples frame.
+
+    ``phrase_map`` is a checkpointed dimension, so its count() is cheap. Maps
+    under ``broadcast_threshold`` rows broadcast — a hash join where hot
+    mention strings never concentrate on one reducer. Bigger maps take
+    :func:`scikg_spark.pipeline.skew.salted_join` (left-join safe), the
+    documented skew strategy for broadcast-ineligible hot-key dimensions.
+    """
+    src = phrase_map.select(
+        F.col("phrase").alias("_sp"), F.col("entity_id").alias("subj_entity"))
+    dst = phrase_map.select(
+        F.col("phrase").alias("_op"), F.col("entity_id").alias("obj_entity"))
+    if phrase_map.count() <= broadcast_threshold:
+        joined = (
+            tuples.join(F.broadcast(src), tuples["s_c.text"] == F.col("_sp"), "left")
+            .join(F.broadcast(dst), tuples["o_c.text"] == F.col("_op"), "left")
+        )
+    else:
+        from scikg_spark.pipeline.skew import salted_join
+
+        big = tuples.withColumn("_sp", F.col("s_c.text")) \
+                    .withColumn("_op", F.col("o_c.text"))
+        joined = salted_join(salted_join(big, src, "_sp", how="left"),
+                             dst, "_op", how="left")
+    return joined.select("doc_id", "stmt_id", "kind", "subj", "pred", "obj",
+                         "subj_entity", "obj_entity")
+
+
+def kg_entity_nodes(spark, sf_dir):
+    """Stage-3 canonical entities over the extracted concept mentions."""
+    nodes, _ = _linked(spark, sf_dir)
+    return nodes.orderBy("entity_id")
+
+
+def kg_entity_edges(spark, sf_dir):
+    """Graph-shaped output: tuples with subject/object entity ids attached
+    (the stage-4 edges table as a query)."""
+    t = _tuples(spark, sf_dir)
+    _, phrase_map = _linked(spark, sf_dir)
+    return attach_entities(t, phrase_map)
+
+
+# ---------------------------------------------------------------------------
+# Materialized graph tables + SQL-expressible downstream aggregations
+# ---------------------------------------------------------------------------
+
+# default shared between the Spark function signature and the DuckDB mirror
+# (oracle parity holds exactly for the default arguments)
+_COOC_MIN_SUPPORT = 2
+
+def _mat_dir(sf_dir: str) -> str:
+    return os.path.join(_MAT_ROOT, os.path.basename(os.path.abspath(sf_dir)))
+
+
+def _fingerprint(sf_dir: str) -> str:
+    return hashlib.md5(repr(_src_stamp(sf_dir)).encode()).hexdigest()
+
+
+def materialize_kg_tables(spark, sf_dir: str) -> str:
+    """Write the gated extraction outputs as plain parquet snapshots:
+
+      <repo>/checkpoints/kg_materialized/<sf>/tuples/  (flat triple rows)
+      <repo>/checkpoints/kg_materialized/<sf>/edges/   (triples + entity ids)
+
+    plus a ``FINGERPRINT`` of the source corpus stamp. Downstream graph
+    aggregations (and their DuckDB oracle mirrors) scan these files — the
+    extraction itself stays pinned by the pytest P/R gate. Idempotent: a
+    fresh fingerprint skips the rewrite."""
+    out = _mat_dir(sf_dir)
+    fp_path = os.path.join(out, "FINGERPRINT")
+    fp = _fingerprint(sf_dir)
+    if os.path.isfile(fp_path):
+        with open(fp_path) as fh:
+            if fh.read().strip() == fp:
+                return out
+    kg_triples(spark, sf_dir).coalesce(1).write.mode("overwrite") \
+        .parquet(os.path.join(out, "tuples"))
+    kg_entity_edges(spark, sf_dir).coalesce(1).write.mode("overwrite") \
+        .parquet(os.path.join(out, "edges"))
+    with open(fp_path, "w") as fh:
+        fh.write(fp + "\n")
+    return out
+
+
+def _materialized(spark, sf_dir: str, table: str):
+    out = materialize_kg_tables(spark, sf_dir)
+    return spark.read.parquet(os.path.join(out, table))
+
+
 def kg_top_facts(spark, sf_dir):
     """Top (subj, pred, obj) fact patterns with per-statement condition
     support attached — the 'conditional statement' query shape the reference
-    exists for."""
-    t = _tuples(spark, sf_dir)
+    exists for. Plain SQL over the materialized tuples snapshot (duelled
+    against the DuckDB mirror on the same files)."""
+    t = _materialized(spark, sf_dir, "tuples")
     facts = t.filter(F.col("kind") == "f")
     conds = (
         t.filter(F.col("kind") == "c")
@@ -80,36 +249,25 @@ def kg_top_facts(spark, sf_dir):
     )
 
 
-def kg_entity_nodes(spark, sf_dir):
-    """Stage-3 canonical entities over the extracted concept mentions."""
-    nodes, _ = _linked(spark, sf_dir)
-    return nodes.orderBy("entity_id")
-
-
-def kg_entity_edges(spark, sf_dir):
-    """Graph-shaped output: tuples with subject/object entity ids attached
-    (the stage-4 edges table as a query)."""
-    t = _tuples(spark, sf_dir)
-    _, phrase_map = _linked(spark, sf_dir)
-    src = phrase_map.select(
-        F.col("phrase").alias("_sp"), F.col("entity_id").alias("subj_entity"))
-    dst = phrase_map.select(
-        F.col("phrase").alias("_op"), F.col("entity_id").alias("obj_entity"))
+def kg_statement_stats(spark, sf_dir):
+    """Per-document extraction statistics (correction-chain observability).
+    SQL over the materialized tuples snapshot."""
+    t = _materialized(spark, sf_dir, "tuples")
     return (
-        t.join(src, t["s_c.text"] == F.col("_sp"), "left")
-        .join(dst, t["o_c.text"] == F.col("_op"), "left")
-        .select("doc_id", "stmt_id", "kind", "subj", "pred", "obj",
-                "subj_entity", "obj_entity")
+        t.groupBy("doc_id")
+        .agg(
+            F.countDistinct("stmt_id").alias("n_statements"),
+            F.sum(F.when(F.col("kind") == "f", 1).otherwise(0)).alias("n_facts"),
+            F.sum(F.when(F.col("kind") == "c", 1).otherwise(0)).alias("n_conditions"))
     )
 
 
-def kg_entity_cooccurrence(spark, sf_dir, min_support: int = 2):
+def kg_entity_cooccurrence(spark, sf_dir, min_support: int = _COOC_MIN_SUPPORT):
     """Graph analytics over the materialized edges: canonical entity pairs
     that co-occur as (subject, object) across statements, with support and
-    the dominant predicate — the 'which concepts relate, and how' query a
-    KG consumer runs first. Pure aggregation over the shared linking pass
-    (no new extraction or linking work)."""
-    edges = kg_entity_edges(spark, sf_dir)
+    the dominant predicate (count-desc, then lexicographically-max pred) —
+    the 'which concepts relate, and how' query a KG consumer runs first."""
+    edges = _materialized(spark, sf_dir, "edges")
     paired = edges.filter(
         F.col("subj_entity").isNotNull() & F.col("obj_entity").isNotNull())
     per_pred = (
@@ -125,13 +283,57 @@ def kg_entity_cooccurrence(spark, sf_dir, min_support: int = 2):
     )
 
 
-def kg_statement_stats(spark, sf_dir):
-    """Per-document extraction statistics (correction-chain observability)."""
-    t = _tuples(spark, sf_dir)
-    return (
-        t.groupBy("doc_id")
-        .agg(
-            F.countDistinct("stmt_id").alias("n_statements"),
-            F.sum(F.when(F.col("kind") == "f", 1).otherwise(0)).alias("n_facts"),
-            F.sum(F.when(F.col("kind") == "c", 1).otherwise(0)).alias("n_conditions"))
-    )
+# DuckDB mirrors over the SAME materialized parquet files the Spark side
+# scans. The driver duels at sf0.01 (documented contract), so the paths bake
+# that snapshot; tests/test_oracle_parity.py re-materializes before duelling.
+_T = os.path.join(_MAT_ROOT, "sf0.01", "tuples", "*.parquet")
+_E = os.path.join(_MAT_ROOT, "sf0.01", "edges", "*.parquet")
+
+ORACLE = {
+    "kg_top_facts": f"""
+        WITH t AS (SELECT * FROM read_parquet('{_T}')),
+        conds AS (
+            SELECT doc_id, stmt_id, count(*) AS n_conditions
+            FROM t WHERE kind = 'c' GROUP BY doc_id, stmt_id
+        )
+        SELECT f.subj, f.pred, f.obj,
+               count(*) AS support,
+               CAST(sum(coalesce(c.n_conditions, 0)) AS BIGINT) AS total_conditions
+        FROM (SELECT * FROM t WHERE kind = 'f') f
+        LEFT JOIN conds c ON f.doc_id = c.doc_id AND f.stmt_id = c.stmt_id
+        GROUP BY f.subj, f.pred, f.obj
+        ORDER BY support DESC, f.subj, f.pred, f.obj
+        LIMIT 50
+    """,
+    "kg_statement_stats": f"""
+        SELECT doc_id,
+               count(DISTINCT stmt_id) AS n_statements,
+               CAST(sum(CASE WHEN kind = 'f' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_facts,
+               CAST(sum(CASE WHEN kind = 'c' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_conditions
+        FROM read_parquet('{_T}')
+        GROUP BY doc_id
+    """,
+    "kg_entity_cooccurrence": f"""
+        WITH per_pred AS (
+            SELECT subj_entity, obj_entity, pred, count(*) AS cnt
+            FROM read_parquet('{_E}')
+            WHERE subj_entity IS NOT NULL AND obj_entity IS NOT NULL
+            GROUP BY subj_entity, obj_entity, pred
+        ),
+        ranked AS (
+            SELECT subj_entity, obj_entity, pred, cnt,
+                   row_number() OVER (
+                       PARTITION BY subj_entity, obj_entity
+                       ORDER BY cnt DESC, pred DESC) AS rn,
+                   CAST(sum(cnt) OVER (
+                       PARTITION BY subj_entity, obj_entity) AS BIGINT)
+                       AS support
+            FROM per_pred
+        )
+        SELECT subj_entity, obj_entity, support, pred AS top_pred
+        FROM ranked
+        WHERE rn = 1 AND support >= {_COOC_MIN_SUPPORT}
+    """,
+}

@@ -121,7 +121,12 @@ def resize_images(media: DataFrame, target: int = 8) -> DataFrame:
     return src.mapInPandas(gen, RESIZED_SCHEMA)
 
 
-def sample_frames(media: DataFrame, every: int = 4) -> DataFrame:
+# default shared with the DuckDB mirror below (oracle parity holds exactly
+# for default arguments)
+FRAME_EVERY = 4
+
+
+def sample_frames(media: DataFrame, every: int = FRAME_EVERY) -> DataFrame:
     """Audio frame sampling: every Nth sample (video-frame-sampling shape)."""
     src = media.filter(F.col("kind") == "audio").select("doc_id", "payload")
 
@@ -231,7 +236,7 @@ ORACLE = {
 }
 
 
-def q_frame_sample_stats(spark, sf_dir, every: int = 4):
+def q_frame_sample_stats(spark, sf_dir, every: int = FRAME_EVERY):
     """Driver-contract query #2: synth media -> audio frame sampling (the
     video-frame-sampling shape) -> per-doc stats over the sampled frames.
     Fully oracle-checked — the sampled positions are deterministic functions
@@ -249,7 +254,7 @@ def q_frame_sample_stats(spark, sf_dir, every: int = 4):
 
 # audio body byte g.i is digest byte (g.i % 16) of md5('audio:' || doc_id);
 # sampling keeps positions g.i % every == 0 below width = 8 + digest[0] % 24
-ORACLE["q_frame_sample_stats"] = """
+ORACLE["q_frame_sample_stats"] = f"""
     WITH media AS (
         SELECT doc_id, md5('audio:' || doc_id) AS hx FROM documents
     ),
@@ -269,7 +274,7 @@ ORACLE["q_frame_sample_stats"] = """
         FROM dims d
         CROSS JOIN generate_series(0, 31) AS g(i)
         JOIN bytes by ON by.doc_id = d.doc_id AND by.j = g.i % 16
-        WHERE g.i < d.width AND g.i % 4 = 0
+        WHERE g.i < d.width AND g.i % {FRAME_EVERY} = 0
     )
     SELECT doc_id, count(*) AS n_samples, round(avg(byte), 4) AS mean_r
     FROM samp GROUP BY doc_id ORDER BY doc_id

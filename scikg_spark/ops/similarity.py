@@ -60,10 +60,22 @@ def _plane_dot(p: int, prefix: str = "") -> str:
 
 
 def _bucket_col(n_planes: int, prefix: str = ""):
-    """Sign pattern of ``n_planes`` hyperplane dots -> bucket key string."""
-    return F.concat(*[
+    """Sign pattern of ``n_planes`` hyperplane dots -> bucket key string.
+
+    Rows wider than ``_MAX_DIM`` raise instead of silently bucketing wrong:
+    the literal plane arrays are _MAX_DIM long, so a longer embedding would
+    NULL-pad the zip_with, NULL the dot, and collapse every over-wide vector
+    into one bucket (quadratic blocking + one-sided oracle divergence)."""
+    bucket = F.concat(*[
         F.when(F.expr(_plane_dot(p, prefix)) >= 0, F.lit("1")).otherwise(F.lit("0"))
         for p in range(n_planes)])
+    return F.when(
+        F.size("embedding") > _MAX_DIM,
+        F.raise_error(F.lit(
+            f"hyperplane LSH supports embedding dim <= {_MAX_DIM} "
+            f"(literal plane arrays; raise similarity._MAX_DIM for wider "
+            f"vectors)"))
+    ).otherwise(bucket)
 
 
 def q_embedding_norms(spark, sf_dir):
@@ -74,7 +86,16 @@ def q_embedding_norms(spark, sf_dir):
         "label")
 
 
-def q_cosine_topk(spark, sf_dir, n_query: int = 10, k: int = 5):
+# Defaults shared between the Spark function signatures and the DuckDB
+# mirrors below (the ORACLE strings are generated from these same values, so
+# oracle parity holds exactly for default arguments — non-default calls are
+# explicitly outside the duel contract).
+N_QUERY, TOP_K = 10, 5
+NEARDUP_THRESHOLD = 0.95
+IVF_N_CENT, IVF_N_PROBE = 8, 2
+
+
+def q_cosine_topk(spark, sf_dir, n_query: int = N_QUERY, k: int = TOP_K):
     """Top-k cosine neighbors for the first ``n_query`` vec_ids (brute force,
     JVM-side). Deterministic tie-break by neighbor id.
 
@@ -149,7 +170,7 @@ def lsh_candidate_pairs(emb, n_tables: int = 8, n_planes: int = 8,
     )
 
 
-def q_embedding_neardup(spark, sf_dir, threshold: float = 0.95,
+def q_embedding_neardup(spark, sf_dir, threshold: float = NEARDUP_THRESHOLD,
                         n_tables: int = 8, n_planes: int = 8):
     """Embedding-cosine near-duplicate pairs, LSH-BLOCKED: candidates come
     from 8 OR-ed hyperplane hash tables (equi-join on (table, bucket)), and
@@ -171,8 +192,8 @@ def q_embedding_neardup(spark, sf_dir, threshold: float = 0.95,
     )
 
 
-def q_ann_ivf_topk(spark, sf_dir, n_query: int = 10, k: int = 5,
-                   n_cent: int = 8, n_probe: int = 2):
+def q_ann_ivf_topk(spark, sf_dir, n_query: int = N_QUERY, k: int = TOP_K,
+                   n_cent: int = IVF_N_CENT, n_probe: int = IVF_N_PROBE):
     """IVF-flat ANN (the inverted-file scale path next to the LSH one):
 
       1. centroids = the ``n_cent`` vectors with the smallest
@@ -197,8 +218,13 @@ def q_ann_ivf_topk(spark, sf_dir, n_query: int = 10, k: int = 5,
                    F.md5(F.col("vec_id").cast("string")).alias("h"))
         .orderBy("h", "vec_id")  # TakeOrdered n_cent, not a global sort
         .limit(n_cent)
-        .withColumn("cent_id",
-                    F.row_number().over(Window.orderBy("h", "vec_id")))
+        # constant partition key: the frame is n_cent rows post-limit, so a
+        # single-partition window is the intent. substr(h,1,0)='' is constant
+        # per row but column-dependent, so Catalyst can't fold it away (a
+        # plain lit() is folded and WindowExec then cries no-partition over
+        # an 8-row frame — noise that buries real single-partition bugs)
+        .withColumn("cent_id", F.row_number().over(
+            Window.partitionBy(F.col("h").substr(1, 0)).orderBy("h", "vec_id")))
         .select("cent_id", F.col("embedding").alias("c_emb"))
     )
     scored = emb.join(F.broadcast(cents)).withColumn(
@@ -236,7 +262,7 @@ def q_ann_ivf_topk(spark, sf_dir, n_query: int = 10, k: int = 5,
     )
 
 
-def embedding_neardup_bruteforce(spark, sf_dir, threshold: float = 0.95):
+def embedding_neardup_bruteforce(spark, sf_dir, threshold: float = NEARDUP_THRESHOLD):
     """Exact all-pairs reference for the LSH-blocked query (test/oracle-scale
     only — the non-equi join is intentionally NOT the registered query)."""
     emb = _emb(spark, sf_dir)
@@ -258,7 +284,7 @@ ORACLE = {
                label
         FROM embeddings
     """,
-    "q_cosine_topk": """
+    "q_cosine_topk": f"""
         WITH scored AS (
             SELECT q.vec_id AS q_id, n.vec_id AS n_id,
                    list_dot_product(
@@ -272,7 +298,7 @@ ORACLE = {
                           list_transform(n.embedding, x -> CAST(x AS DOUBLE)))))
                        AS cos
             FROM embeddings q JOIN embeddings n ON q.vec_id != n.vec_id
-            WHERE q.vec_id < 10
+            WHERE q.vec_id < {N_QUERY}
         ),
         ranked AS (
             SELECT q_id, n_id, cos,
@@ -281,11 +307,11 @@ ORACLE = {
             FROM scored
         )
         SELECT q_id, n_id, rank, round(cos, 4) AS cos_r
-        FROM ranked WHERE rank <= 5
+        FROM ranked WHERE rank <= {TOP_K}
     """,
     # exact brute force: the LSH-blocked Spark query must reproduce it at
     # test scale (recall is ~1 for the thresholds/data under duel)
-    "q_embedding_neardup": """
+    "q_embedding_neardup": f"""
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                round(
                  list_dot_product(list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
@@ -302,7 +328,7 @@ ORACLE = {
                                        list_transform(a.embedding, x -> CAST(x AS DOUBLE))))
                  * sqrt(list_dot_product(list_transform(b.embedding, x -> CAST(x AS DOUBLE)),
                                          list_transform(b.embedding, x -> CAST(x AS DOUBLE)))))
-              >= 0.95
+              >= {NEARDUP_THRESHOLD}
     """,
 }
 
@@ -343,7 +369,7 @@ ORACLE["q_ann_ivf_topk"] = f"""
                embedding AS c_emb
         FROM embeddings
         ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
-        LIMIT 8
+        LIMIT {IVF_N_CENT}
     ),
     scored AS (
         SELECT e.vec_id, e.embedding, c.cent_id,
@@ -365,8 +391,8 @@ ORACLE["q_ann_ivf_topk"] = f"""
                                       ORDER BY {_duck_cos('q.embedding', 'c.c_emb')} DESC,
                                                c.cent_id ASC) AS prn
             FROM embeddings q CROSS JOIN cents c
-            WHERE q.vec_id < 10)
-        WHERE prn <= 2
+            WHERE q.vec_id < {N_QUERY})
+        WHERE prn <= {IVF_N_PROBE}
     ),
     cand AS (
         SELECT p.q_id, a.vec_id AS n_id,
@@ -381,5 +407,5 @@ ORACLE["q_ann_ivf_topk"] = f"""
         FROM cand
     )
     SELECT q_id, n_id, rank, round(cos, 4) AS cos_r
-    FROM ranked WHERE rank <= 5
+    FROM ranked WHERE rank <= {TOP_K}
 """

@@ -149,7 +149,14 @@ ORACLE["q_token_regex"] = """
 """
 
 
-def _rolling_hash_expr(k: int = 8, base: int = 31, mod: int = 1_000_003) -> str:
+# Defaults shared between the Spark signatures and the DuckDB mirrors below
+# (the ORACLE f-strings interpolate these same values — duel parity holds
+# exactly for default arguments).
+WINNOW_K, WINNOW_WINDOW = 8, 4
+REPETITION_THRESHOLD = 0.2
+
+
+def _rolling_hash_expr(k: int = WINNOW_K, base: int = 31, mod: int = 1_000_003) -> str:
     """Engine-neutral Rabin-Karp hash of the k chars starting at position i
     (1-based): sum(ascii(char_{i+j}) * base^(k-1-j)) % mod. base^(k-1)*127
     stays far below 2^63, so plain bigint arithmetic agrees on both engines."""
@@ -159,7 +166,8 @@ def _rolling_hash_expr(k: int = 8, base: int = 31, mod: int = 1_000_003) -> str:
     return f"(({terms}) % {mod})"
 
 
-def q_winnow_fingerprints(spark, sf_dir, k: int = 8, window: int = 4):
+def q_winnow_fingerprints(spark, sf_dir, k: int = WINNOW_K,
+                          window: int = WINNOW_WINDOW):
     """Winnowing document fingerprints (the MOSS scheme): k-gram rolling
     hashes, then the minimum hash of every ``window`` consecutive positions;
     the distinct minima are the document's fingerprint set. All arithmetic is
@@ -186,7 +194,7 @@ def q_winnow_fingerprints(spark, sf_dir, k: int = 8, window: int = 4):
     )
 
 
-def q_repetition_stats(spark, sf_dir, threshold: float = 0.2):
+def q_repetition_stats(spark, sf_dir, threshold: float = REPETITION_THRESHOLD):
     """Within-document repetition (the Gopher-style quality rule): fraction
     of duplicate word bigrams = 1 - distinct/total. Pure JVM array math —
     no explode, no shuffle before the final projection; the flag column is
@@ -220,25 +228,27 @@ ORACLE["q_repetition_stats"] = f"""
     SELECT doc_id,
            CAST(len(g) AS BIGINT) AS n_grams,
            round(1.0 - len(list_distinct(g)) * 1.0 / len(g), 4) AS dup_frac,
-           round(1.0 - len(list_distinct(g)) * 1.0 / len(g), 4) >= 0.2
-               AS flagged
+           round(1.0 - len(list_distinct(g)) * 1.0 / len(g), 4)
+               >= {REPETITION_THRESHOLD} AS flagged
     FROM g
 """
 
 
 ORACLE["q_winnow_fingerprints"] = f"""
     WITH hashes AS (
-        SELECT doc_id, i AS pos, length(text) - 8 + 1 AS max_pos,
-               {_rolling_hash_expr().replace('i +', 'i +')} AS h
-        FROM documents, unnest(generate_series(1, length(text) - 8 + 1)) AS t(i)
-        WHERE n_chars >= 12
+        SELECT doc_id, i AS pos, length(text) - {WINNOW_K} + 1 AS max_pos,
+               {_rolling_hash_expr()} AS h
+        FROM documents,
+             unnest(generate_series(1, length(text) - {WINNOW_K} + 1)) AS t(i)
+        WHERE n_chars >= {WINNOW_K + WINNOW_WINDOW}
     ),
     winnowed AS (
         SELECT doc_id, pos, max_pos,
                min(h) OVER (PARTITION BY doc_id ORDER BY pos
-                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+                            ROWS BETWEEN CURRENT ROW AND {WINNOW_WINDOW - 1}
+                            FOLLOWING) AS fp
         FROM hashes
     )
     SELECT DISTINCT doc_id, fp FROM winnowed
-    WHERE pos <= max_pos - 4 + 1
+    WHERE pos <= max_pos - {WINNOW_WINDOW} + 1
 """

@@ -175,30 +175,34 @@ def _driver_union_find(rows, vertices: DataFrame) -> DataFrame:
 
 def connected_components(edges: DataFrame, vertices: DataFrame,
                          max_iter: int = 20,
-                         driver_threshold: int = 1 << 20) -> DataFrame:
+                         driver_threshold: int = 1 << 18) -> DataFrame:
     """Hash-min label propagation: (id) -> (id, comp) with comp = min id in
     the component. Iterative joins with localCheckpoint per round (bounded by
     ``max_iter``; converges in O(component diameter) rounds — phrase
     similarity components are shallow).
 
     Edge lists at or under ``driver_threshold`` rows short-circuit to a
-    driver-side union-find — the same size rationale as a broadcast join
-    (~16 B/edge: 1M edges is smaller than a typical broadcast table), and it
-    replaces tens of iterative-join Spark jobs with one probing collect
-    (``limit(threshold+1)`` stops early on big graphs, so the probe stays
-    cheap at web scale). Edge sets over the threshold take the distributed
+    driver-side union-find — the same size rationale as a broadcast join,
+    and it replaces tens of iterative-join Spark jobs with one collect. The
+    probe is a COUNT over the already-checkpointed adjacency (pennies), so
+    the expensive upstream (LSH + Jaccard verify) materializes exactly once
+    whichever path runs, and rows are collected only when the graph is
+    actually under the threshold. The default is 256k edges: Python Row
+    overhead is hundreds of bytes per edge, so that is tens of MB of driver
+    heap — broadcast-table territory — not the raw 16 B/edge a binary layout
+    would suggest. Edge sets over the threshold take the distributed
     iterative path; pass ``driver_threshold=0`` to force it."""
     bidir = edges.union(edges.select(F.col("dst").alias("src"),
                                      F.col("src").alias("dst")))
-    if driver_threshold:
-        probe = bidir.limit(driver_threshold + 1).collect()
-        if len(probe) <= driver_threshold:
-            return _driver_union_find(probe, vertices)
+    # materialize the adjacency ONCE before any probe/iteration: both the
+    # driver short-circuit and the distributed rounds reuse this
     bidir = bidir.localCheckpoint()
+    n_edges = bidir.count()
+    if driver_threshold and n_edges <= driver_threshold:
+        return _driver_union_find(bidir.collect(), vertices)
     # size the per-round shuffles to the actual edge count: tiny graphs get a
     # handful of partitions instead of spark.sql.shuffle.partitions-many
     # micro-tasks per iteration (at 10^12-doc scale the default takes over)
-    n_edges = bidir.count()
     n_parts = max(2, min(int(edges.sparkSession.conf.get(
         "spark.sql.shuffle.partitions")), n_edges // 50_000 + 2))
     bidir = bidir.repartition(n_parts, "src")

@@ -55,3 +55,21 @@ def test_cosine_topk_broadcasts_the_query_side(spark):
     filt = plan.index("vec_id", bcast)  # first column ref under the exchange
     assert "< 10" in plan[bcast:bcast + 2000], plan[bcast:bcast + 2000]
     assert filt > bcast
+
+
+def test_lsh_raises_on_overwide_embedding(spark, tmp_path):
+    """dim > _MAX_DIM must fail loudly, never NULL-pad into one bucket
+    (which would silently turn the blocked near-dup quadratic while the
+    DuckDB oracle errors — one-sided divergence)."""
+    from pyspark.errors import SparkRuntimeException
+
+    from scikg_spark.ops.similarity import _MAX_DIM, q_ann_lsh_buckets
+
+    out = str(tmp_path / "wide")
+    wide = [float(i % 7) for i in range(_MAX_DIM + 8)]
+    spark.createDataFrame(
+        [(0, wide, 0), (1, wide, 1)],
+        "vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{out}/embeddings.parquet")
+    with pytest.raises(SparkRuntimeException, match="dim"):
+        q_ann_lsh_buckets(spark, out).count()

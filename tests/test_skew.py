@@ -49,3 +49,35 @@ def test_salt_distribution_spreads_hot_key(spark):
          .filter(F.col("k") == "hot_key")
          .select("__salt").distinct().count())
     assert n > 8
+
+
+def test_attach_entities_salted_equals_broadcast(spark):
+    """kg.attach_entities: the over-threshold salted path must return exactly
+    the broadcast path's rows on a skewed fixture (one hot mention string
+    dominating the tuples side)."""
+    from pyspark.sql import functions as F
+
+    from scikg_spark.ops.kg import attach_entities
+
+    rows = []
+    for i in range(400):
+        subj = "patients" if i % 4 else f"drug_{i}"  # hot key 3/4 of rows
+        rows.append((i // 3, i, "f", 0, subj, "treats", f"disease_{i % 7}"))
+    tuples = spark.createDataFrame(
+        rows, "doc_id long, stmt_id long, kind string, tuple_idx long, "
+              "subj string, pred string, obj string"
+    ).withColumn("s_c", F.struct(F.col("subj").alias("text"))) \
+     .withColumn("o_c", F.struct(F.col("obj").alias("text")))
+    phrase_map = spark.createDataFrame(
+        [("patients", 1)] + [(f"disease_{k}", 100 + k) for k in range(7)]
+        + [(f"drug_{i}", 1000 + i) for i in range(0, 400, 8)],
+        "phrase string, entity_id long")
+
+    via_broadcast = attach_entities(tuples, phrase_map).collect()
+    via_salted = attach_entities(tuples, phrase_map,
+                                 broadcast_threshold=0).collect()
+    key = lambda r: (r["doc_id"], r["stmt_id"], r["subj"], r["obj"])
+    assert sorted(map(tuple, via_salted), key=lambda t: t) \
+        == sorted(map(tuple, via_broadcast), key=lambda t: t)
+    assert {r["subj_entity"] for r in via_salted
+            if r["subj"] == "patients"} == {1}
