@@ -88,9 +88,27 @@ def run_pipeline(
             F.col("phrase").alias("_sp"), F.col("entity_id").alias("subj_entity"))
         dst_map = phrase_map.select(
             F.col("phrase").alias("_op"), F.col("entity_id").alias("obj_entity"))
+        # same skew discipline as ops.kg.attach_entities: a dimension-sized
+        # phrase map broadcasts (hot mention strings never concentrate on one
+        # reducer); an over-threshold map takes the salted-join path
+        from scikg_spark.ops.kg import BROADCAST_MAP_ROWS
+
+        if phrase_map.count() <= BROADCAST_MAP_ROWS:
+            joined = (
+                tuples.join(F.broadcast(src_map),
+                            tuples["s_c.text"] == F.col("_sp"), "left")
+                .join(F.broadcast(dst_map),
+                      tuples["o_c.text"] == F.col("_op"), "left")
+            )
+        else:
+            from scikg_spark.pipeline.skew import salted_join
+
+            big = tuples.withColumn("_sp", F.col("s_c.text")) \
+                        .withColumn("_op", F.col("o_c.text"))
+            joined = salted_join(salted_join(big, src_map, "_sp", how="left"),
+                                 dst_map, "_op", how="left")
         return (
-            tuples.join(src_map, tuples["s_c.text"] == F.col("_sp"), "left")
-            .join(dst_map, tuples["o_c.text"] == F.col("_op"), "left")
+            joined
             .drop("_sp", "_op")
             # Iceberg's bucket(url) partition transform, expressed directly:
             # co-locates a url's edges and bounds files-per-partition at scale

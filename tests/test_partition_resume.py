@@ -36,3 +36,74 @@ def test_backfill_kill_and_resume(spark, tmp_path):
     # idempotent rerun: nothing recomputed
     r3 = w.write(df)
     assert r3 == {"written_partitions": 0, "completed_total": 5}
+
+
+def _lineage_fold(catalog, table):
+    """Partition-independent content signature: (total rows, xor of row
+    hashes) folded from the committed manifest lineage."""
+    m = catalog.manifest(table)
+    rows = sum(p["rows"] for p in m["lineage"])
+    xor = 0
+    for p in m["lineage"]:
+        xor ^= int(p["checksum"]) & (2**64 - 1)
+    return rows, xor
+
+
+def test_rollback_under_resumed_runner(spark, tmp_path, monkeypatch):
+    """End-to-end operator story (snapshot surface under the runner): a bad
+    rerun commits a CORRUPTED tuples snapshot and is killed mid-linking; the
+    operator rolls tuples back one snapshot and reruns with resume — the
+    final tables must equal a clean run's content exactly, and nothing may
+    recompute."""
+    import pytest
+
+    from scikg_spark.pipeline import runner as runner_mod
+    from scikg_spark.pipeline.runner import run_pipeline
+    from scikg_spark.pipeline.stage1 import build_pages_from_documents
+    from scikg_spark.pipeline.stage4 import SnapshotCatalog
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").filter("doc_id < 60")
+    pages = build_pages_from_documents(docs).localCheckpoint()
+    tables = ("statements", "tuples", "entity_nodes", "entity_map", "edges")
+
+    clean = SnapshotCatalog(spark, str(tmp_path / "clean"))
+    run_pipeline(spark, pages, catalog=clean)
+
+    ops = SnapshotCatalog(spark, str(tmp_path / "ops"))
+    run_pipeline(spark, pages, catalog=ops)  # good run #1 (snap-1 everywhere)
+
+    # bad rerun: buggy tuples build (drops rows), killed during linking
+    good_extract = runner_mod.extract_tuples
+    with monkeypatch.context() as m:
+        m.setattr(runner_mod, "extract_tuples",
+                  lambda stmts, **kw: good_extract(stmts, **kw).limit(3))
+        m.setattr(runner_mod, "link_entities",
+                  lambda *a, **kw: (_ for _ in ()).throw(RuntimeError("killed")))
+        with pytest.raises(RuntimeError, match="killed"):
+            run_pipeline(spark, pages, catalog=ops, resume=False)
+
+    # the corruption is committed: a resumed run would serve 3 rows
+    assert ops.read("tuples").count() == 3
+    hist = ops.history("tuples")
+    assert len(hist) >= 2 and hist[-1]["parent"] == hist[0]["snapshot_id"]
+
+    # operator rolls the last committed table back one snapshot and reruns
+    ops.rollback("tuples", hist[0]["snapshot_id"])
+    out = run_pipeline(spark, pages, catalog=ops, resume=True)
+    assert set(tables) <= set(out)
+
+    for table in tables:
+        assert _lineage_fold(ops, table) == _lineage_fold(clean, table), table
+    # byte-level check on the actual rows of the rolled-back table
+    key = lambda r: tuple(str(v) for v in r)
+    assert sorted(map(key, ops.read("tuples").collect())) \
+        == sorted(map(key, clean.read("tuples").collect()))
+
+    # nothing recomputed after the rollback: the resumed run's metrics tail
+    # records resumed=True for every stage
+    import json
+    with open(str(tmp_path / "ops" / "_metrics.jsonl")) as fh:
+        records = [json.loads(line) for line in fh]
+    tail = {r["stage"]: r for r in records}  # last record per stage wins
+    assert all(tail[t]["resumed"] for t in tables), tail
