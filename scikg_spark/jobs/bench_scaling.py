@@ -47,6 +47,14 @@ def main(argv=None):
                         help="also measure the pure-Python multiprocessing ceiling")
     parser.add_argument("--arrow-batch", type=int, default=512,
                         help="spark.sql.execution.arrow.maxRecordsPerBatch")
+    parser.add_argument("--tagger", default="rule",
+                        choices=("rule", "neural", "ensemble"),
+                        help="rule = fused extraction (the round-2 evidence "
+                             "path); neural/ensemble = trained-checkpoint "
+                             "inference (numpy BiLSTM on executors)")
+    parser.add_argument("--weights",
+                        help="trained .npz checkpoint for --tagger "
+                             "neural/ensemble (default: the committed one)")
     args = parser.parse_args(argv)
 
     import os
@@ -84,12 +92,38 @@ def main(argv=None):
         pages = build_pages_from_documents(docs).cache()
         pages.count()
 
-        pages_to_tuples(pages).count()  # warm python workers
+        if args.tagger == "rule":
+            def job():
+                return pages_to_tuples(pages).count()
+        else:
+            # trained-checkpoint inference path: statements materialize once
+            # (they are tagger-independent), the timed region is the numpy
+            # BiLSTM tag pass + decode on executors
+            import os as _os
+
+            from scikg_spark.pipeline.stage1 import extract_statements
+            from scikg_spark.pipeline.stage2 import decode_tuples, tag_statements
+
+            weights = args.weights or _os.path.join(
+                _os.path.dirname(_os.path.dirname(_os.path.dirname(
+                    _os.path.abspath(__file__)))), "checkpoints",
+                "ensemble_111.npz" if args.tagger == "ensemble"
+                else "bptt_best_single.npz")
+            result["weights"] = weights
+            stmts = extract_statements(pages).cache()
+            result["statements"] = stmts.count()
+
+            def job():
+                return decode_tuples(tag_statements(
+                    stmts, mode=args.tagger, weights_path=weights)).count()
+
+        result["tagger"] = args.tagger
+        job()  # warm python workers
         walls = []
         n_tuples = 0
         for _ in range(args.trials):
             t0 = time.time()
-            n_tuples = pages_to_tuples(pages).count()
+            n_tuples = job()
             walls.append(time.time() - t0)
         wall = statistics.median(walls)
         result.update({

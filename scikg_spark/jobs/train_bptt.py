@@ -30,16 +30,19 @@ import argparse
 import json
 import time
 
-# the three single-model feature configs (the reference's LM/POS/CAP config
-# bits, utils.py:2679-2698). The LM config is replaced by POSCAP here: the
-# reference's pretrained LM blobs are not shipped (README.md:45-51), so an
-# LM-featured single would train its gates over frozen-random LM features —
-# POSCAP is the honest third diverse config.
+# the three single-model feature configs — the reference's LM/POS/CAP config
+# bits (utils.py:2679-2698: singles 100/010/001 under ensemble_111). The lm
+# single requires ``--lm-weights`` (a checkpoint from jobs/train_lm.py): the
+# reference's pretrained LM blobs are not shipped (README.md:45-51), so the
+# LM features come from the repo's own corpus-trained LM; without
+# --lm-weights the job falls back to POSCAP as the third diverse config
+# (round-2 behavior) rather than training gates over frozen-random features.
 CONFIGS = {
+    "lm": dict(use_lm=True, use_pos=False, use_cap=False),
     "pos": dict(use_lm=False, use_pos=True, use_cap=False),
     "cap": dict(use_lm=False, use_pos=False, use_cap=True),
-    "poscap": dict(use_lm=False, use_pos=True, use_cap=True),
 }
+FALLBACK_THIRD = ("poscap", dict(use_lm=False, use_pos=True, use_cap=True))
 
 
 def load_labeled(documents: str, cores: int):
@@ -112,6 +115,13 @@ def train_single(config: dict, data, args, w_fact, w_cond, log_prefix=""):
 
     (tw, tp, tc, tf, tcond), (hw, hp, hc, hf, hcond) = data
     model = MimoTagger(seed=args.seed, **config)
+    if config.get("use_lm"):
+        # trained LM featurizer (jobs/train_lm.py); the cell stays frozen
+        # under BPTT — only the w_lm/g_lm gates learn (the reference's
+        # fixed-LM-features training, utils.py:2892)
+        from scikg_spark.core.lm import load_lm_into
+
+        load_lm_into(model, args.lm_weights)
     trainer = BPTTTrainer(model, lr=args.lr)
     idx = np.arange(len(tw))
     rng = np.random.default_rng(args.seed)
@@ -142,7 +152,11 @@ def main(argv=None):
     parser.add_argument("--out", help="single-model .npz checkpoint path")
     parser.add_argument("--ensemble-out",
                         help="train all 3 configs + combiner, save here")
-    parser.add_argument("--config", default="poscap", choices=sorted(CONFIGS))
+    parser.add_argument("--config", default="poscap",
+                        choices=sorted(set(CONFIGS) | {FALLBACK_THIRD[0]}))
+    parser.add_argument("--lm-weights",
+                        help="trained LM checkpoint (jobs/train_lm.py); "
+                             "enables the lm single-model config")
     parser.add_argument("--epochs", type=int, default=40)
     parser.add_argument("--combiner-epochs", type=int, default=10)
     parser.add_argument("--lr", type=float, default=0.05)
@@ -161,6 +175,14 @@ def main(argv=None):
     args = parser.parse_args(argv)
     if not args.out and not args.ensemble_out:
         parser.error("need --out and/or --ensemble-out")
+    configs = dict(CONFIGS)
+    if not args.lm_weights:
+        configs.pop("lm")
+        configs[FALLBACK_THIRD[0]] = FALLBACK_THIRD[1]
+    elif FALLBACK_THIRD[0] == args.config and not args.ensemble_out:
+        configs[FALLBACK_THIRD[0]] = FALLBACK_THIRD[1]
+    if args.config == "lm" and not args.lm_weights:
+        parser.error("--config lm requires --lm-weights")
 
     import numpy as np
 
@@ -201,7 +223,8 @@ def main(argv=None):
 
     report: dict = {"statements": len(words), "train": len(words[train]),
                     "holdout": n_hold, "epochs": args.epochs, "lr": args.lr,
-                    "batch": args.batch, "models": {}}
+                    "batch": args.batch, "lm_weights": args.lm_weights,
+                    "models": {}}
     t0 = time.time()
 
     def evaluate(name, model):
@@ -223,7 +246,7 @@ def main(argv=None):
         from scikg_spark.core.train_bptt import EnsembleTrainer
 
         singles = {}
-        for name, config in CONFIGS.items():
+        for name, config in configs.items():
             singles[name] = train_single(config, data, args, w_fact, w_cond,
                                          log_prefix=f"{name} ")
             evaluate(name, singles[name])
@@ -243,13 +266,17 @@ def main(argv=None):
         ens.save(args.ensemble_out)
         report["ensemble_weights"] = args.ensemble_out
         if args.out:  # also save the best single
-            best = max(CONFIGS, key=lambda n:
+            best = max(configs, key=lambda n:
                        report["models"][n]["holdout_triple_f1"])
             save_weights(singles[best], args.out)
             report["best_single"] = best
             report["weights"] = args.out
     else:
-        model = train_single(CONFIGS[args.config], data, args, w_fact, w_cond)
+        if args.config == FALLBACK_THIRD[0]:
+            cfg = FALLBACK_THIRD[1]
+        else:
+            cfg = configs[args.config]
+        model = train_single(cfg, data, args, w_fact, w_cond)
         evaluate(args.config, model)
         save_weights(model, args.out)
         report["weights"] = args.out

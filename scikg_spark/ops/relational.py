@@ -60,18 +60,32 @@ def q_user_first_event(spark, sf_dir):
 
 def q_event_type_overlap(spark, sf_dir):
     """Set-op coverage: users having BOTH of the two most common event types
-    (INTERSECT), minus users of the rarest (EXCEPT)."""
+    (INTERSECT), minus users of the rarest (EXCEPT).
+
+    Fully declarative: the type ranking is a broadcast-joined aggregate of
+    the same scan, not a driver collect at plan-build — the plan stays
+    buildable before any data exists and the histogram job runs inside the
+    query, not at registration. The ranking window is over the (metadata-
+    sized) per-type counts; its constant partition key is column-derived so
+    it survives constant folding (same trick as similarity's centroid id)."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet").filter(
         F.col("user_id").isNotNull())
-    types = [r["event_type"] for r in
-             ev.groupBy("event_type").count()
-             .orderBy(F.desc("count"), F.asc("event_type")).collect()]
-    if len(types) < 2:
-        return ev.select("user_id").limit(0)
-    top1, top2, rare = types[0], types[1], types[-1]
-    u = lambda t: ev.filter(F.col("event_type") == t).select("user_id").distinct()
+    counts = ev.groupBy("event_type").agg(F.count("*").alias("c"))
+    w_top = Window.partitionBy(F.substring("event_type", 1, 0)) \
+        .orderBy(F.desc("c"), F.asc("event_type"))
+    w_rare = Window.partitionBy(F.substring("event_type", 1, 0)) \
+        .orderBy(F.asc("c"), F.desc("event_type"))
+    ranked = counts.withColumn("r_top", F.row_number().over(w_top)) \
+                   .withColumn("r_rare", F.row_number().over(w_rare))
+
+    def users_of(rank_col, rank):
+        pick = ranked.filter(F.col(rank_col) == rank).select("event_type")
+        return ev.join(F.broadcast(pick), "event_type") \
+                 .select("user_id").distinct()
+
     return (
-        u(top1).intersect(u(top2)).exceptAll(u(rare))
+        users_of("r_top", 1).intersect(users_of("r_top", 2))
+        .exceptAll(users_of("r_rare", 1))
         .orderBy("user_id")
     )
 

@@ -89,3 +89,28 @@ def test_ann_lsh_handles_empty_embeddings(spark, tmp_path):
     ).write.parquet(f"{empty_dir}/embeddings.parquet")
     df = q_ann_lsh_buckets(spark, empty_dir)
     assert df.count() == 0
+
+
+def test_event_type_overlap_nonempty_fixture(spark, tmp_path):
+    """The declarative rewrite (no plan-build collect) must produce the
+    intended set algebra on data where the answer is NON-empty (the shipped
+    testdata yields 0 rows, which would mask a broken rewrite)."""
+    from scikg_spark.ops.relational import q_event_type_overlap
+
+    rows = []
+    eid = 0
+    # click (most common), view (second), buy (rarest)
+    for uid, types in {1: ["click", "view"], 2: ["click", "view", "buy"],
+                       3: ["click"], 4: ["view", "click"],
+                       5: ["click", "view", "click"]}.items():
+        for t in types:
+            rows.append((eid, uid, t, float(eid), eid))
+            eid += 1
+    out = str(tmp_path / "sf_ev")
+    spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, "
+              "value double, ts long"
+    ).write.parquet(f"{out}/events.parquet")
+    got = sorted(r["user_id"] for r in q_event_type_overlap(spark, out).collect())
+    # click∩view = {1,2,4,5}; minus buy-users {2} -> {1,4,5}
+    assert got == [1, 4, 5]

@@ -427,3 +427,88 @@ class TestEnsembleTraining:
         stmts = extract_statements(build_pages_from_documents(docs))
         rows = tag_statements(stmts, mode="ensemble", weights_path=path).collect()
         assert len(rows) > 0
+
+
+class TestLanguageModel:
+    """core.lm: the trained-LM completion of S6/M1 (reference model.py
+    RNNModel semantics — LSTM featurizer, training-only decoder head)."""
+
+    SENTS = [["the", "cat", "sat", "on", "the", "mat"],
+             ["a", "dog", "ran"],
+             ["the", "dog", "sat", "on", "a", "mat"],
+             ["mat"],
+             ["on", "a", "mat", "the", "cat", "ran", "far", "away"]]
+
+    def _tiny_lm(self, seed=3):
+        from scikg_spark.core.lm import LMTrainer, LanguageModel, build_vocab
+
+        lm = LanguageModel(build_vocab(self.SENTS), seed=seed,
+                           in_dim=8, hidden=6)
+        for attr in ("dec_w", "dec_b"):
+            setattr(lm, attr, getattr(lm, attr).astype(np.float64))
+        lm.cell.w = lm.cell.w.astype(np.float64)
+        lm.cell.b = lm.cell.b.astype(np.float64)
+        return lm, LMTrainer(lm)
+
+    def test_gradcheck(self):
+        lm, tr = self._tiny_lm()
+        batch = sorted(self.SENTS, key=len, reverse=True)
+        loss, n_tok, grads = tr.loss_and_grads(batch)
+        assert n_tok == sum(len(s) - 1 for s in self.SENTS)
+        rng = np.random.default_rng(42)
+        eps = 1e-6
+        for key, p in tr._params().items():
+            for ci in rng.choice(p.size, size=min(10, p.size), replace=False):
+                old = p.flat[ci]
+                p.flat[ci] = old + eps
+                lp, _, _ = tr.loss_and_grads(batch)
+                p.flat[ci] = old - eps
+                lm_, _, _ = tr.loss_and_grads(batch)
+                p.flat[ci] = old
+                fd = (lp - lm_) / (2 * eps)
+                an = grads[key].flat[ci]
+                err = abs(fd - an) / max(1.0, abs(fd), abs(an))
+                assert err < 1e-5, f"{key}[{ci}]: analytic={an} fd={fd}"
+
+    def test_training_reduces_perplexity(self):
+        from scikg_spark.core.lm import LMTrainer, LanguageModel, build_vocab
+
+        lm = LanguageModel(build_vocab(self.SENTS), seed=7, in_dim=8, hidden=6)
+        tr = LMTrainer(lm, lr=0.5)
+        before = tr.perplexity(self.SENTS)
+        for _ in range(60):
+            tr.step(self.SENTS)
+        after = tr.perplexity(self.SENTS)
+        assert after < before * 0.7, (before, after)
+        # sanity ceiling: can't beat the unigram entropy floor of 0
+        assert after >= 1.0
+
+    def test_save_load_roundtrip_and_install(self, tmp_path):
+        from scikg_spark.core.lm import (
+            LMTrainer, LanguageModel, build_vocab, load_lm_into)
+        from scikg_spark.core.neural import WORD_DIM, LM_DIM, MimoTagger
+
+        lm = LanguageModel(build_vocab(self.SENTS), seed=7,
+                           in_dim=WORD_DIM, hidden=LM_DIM)
+        tr = LMTrainer(lm, lr=0.3)
+        for _ in range(3):
+            tr.step(self.SENTS)
+        path = str(tmp_path / "lm.npz")
+        lm.save(path)
+        back = type(lm).load(path)
+        np.testing.assert_array_equal(back.cell.w, lm.cell.w)
+        assert back.vocab == lm.vocab
+
+        model = MimoTagger(seed=1, use_lm=True, use_pos=False, use_cap=False)
+        wv = np.asarray(
+            __import__("scikg_spark.core.neural", fromlist=["x"])
+            .hash_word_vectors(self.SENTS[0]))
+        feats_fixture = model._lm_features(wv).copy()
+        load_lm_into(model, path)
+        feats_trained = model._lm_features(wv)
+        assert not np.allclose(feats_fixture, feats_trained)
+        np.testing.assert_array_equal(model.lm_cell.w, lm.cell.w)
+        # config guard: a use_lm=False model must refuse the install
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="use_lm"):
+            load_lm_into(MimoTagger(use_lm=False), path)
