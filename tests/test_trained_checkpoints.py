@@ -9,7 +9,7 @@ import pytest
 
 CKPT_DIR = "/root/repo/checkpoints"
 SINGLE = os.path.join(CKPT_DIR, "bptt_best_single.npz")
-ENSEMBLE = os.path.join(CKPT_DIR, "ensemble_011.npz")
+ENSEMBLE = os.path.join(CKPT_DIR, "ensemble_111.npz")
 
 pytestmark = pytest.mark.skipif(
     not (os.path.exists(SINGLE) and os.path.exists(ENSEMBLE)),
@@ -74,3 +74,28 @@ def test_trained_ensemble_flows_through_spark(spark):
         .intersect(rule.select("doc_id", "stmt_id", "kind", "subj", "pred", "obj")) \
         .count()
     assert n_match / max(rule.count(), 1) >= 0.9
+
+
+def test_ensemble_contains_trained_lm_bit_model():
+    """The committed ensemble must include a use_lm single whose LM cell IS
+    the separately-trained language model (frozen under BPTT, so byte-equal
+    to the committed lm checkpoint) — the reference's lm config bit
+    (utils.py:2687-2690) exercised with genuinely trained weights."""
+    import numpy as np
+
+    from scikg_spark.core.lm import LanguageModel
+    from scikg_spark.core.neural import ensemble_from_weights
+
+    lm_path = os.path.join(CKPT_DIR, "lm_200d.npz")
+    if not os.path.exists(lm_path):
+        pytest.skip("lm checkpoint not present")
+    ens = ensemble_from_weights(ENSEMBLE)
+    lm_models = [m for m in ens.models if m.use_lm]
+    assert len(lm_models) == 1
+    lm = LanguageModel.load(lm_path)
+    np.testing.assert_array_equal(lm_models[0].lm_cell.w, lm.cell.w)
+    np.testing.assert_array_equal(lm_models[0].lm_cell.b, lm.cell.b)
+    # the configs cover the reference's three single bits (lm/pos/cap)
+    configs = sorted((m.use_lm, m.use_pos, m.use_cap) for m in ens.models)
+    assert configs == [(False, False, True), (False, True, False),
+                       (True, False, False)]
