@@ -5,11 +5,14 @@ and prints ONE JSON line.
 Headline = the fused KG-extraction pipeline (triples/sec is THE BASELINE.json
 metric) + stage-3 entity linking + the dedup/similarity/text/relational ops.
 Each query is timed to full materialization (count) at $SPARK_GRAFT_SF_DIR,
-REPEATED $SPARK_GRAFT_REPS times (default 3) with the MEDIAN reported
+REPEATED $SPARK_GRAFT_REPS times (default 5) with the MEDIAN reported
 per query (plus min in "queries_min") — this VM's CPU drifts 2-5x with host
-neighbors, so a single-shot timing can report a 7x outlier for an unchanged
-plan (BENCH_r02's two 28 s rows were exactly that). Median-of-3 makes one
-host stall per query harmless. Timing runs after one warmup pass PER QUERY
+neighbors IN MULTI-MINUTE EPISODES, so a single-shot timing can report a 7x
+outlier for an unchanged plan (BENCH_r02's two 28 s rows were exactly that),
+and an episode can even cover several consecutive reps of one query.
+Median-of-5 survives an episode spanning two reps; "queries_min" is the
+steady-state estimator to read when an episode still poisons the median
+(stalls only ever add time). Timing runs after one warmup pass PER QUERY
 at sf0.001 — the warmup excludes
 Python-worker cold start and whole-stage-codegen JIT (the same exclusion
 bench_scaling applies; ~10 s of one-time JIT otherwise lands inside whatever
@@ -66,7 +69,7 @@ def main():
         "rel_pricing_summary": relational.q_pricing_summary,
         "rel_top_customer": relational.q_top_customer_revenue,
     }
-    reps = int(os.environ.get("SPARK_GRAFT_REPS", "3"))
+    reps = int(os.environ.get("SPARK_GRAFT_REPS", "5"))
     try:
         # warm python workers + codegen for every timed plan shape (sf0.001:
         # same plans, disjoint data/caches)
@@ -85,8 +88,8 @@ def main():
                     kg.clear_caches(spark)
                 elif name == "kg_entity_nodes":
                     # re-pay the stage-3 linking pass (LSH + CC) every rep;
-                    # the shared extraction stays warm — that split is what
-                    # this row measures (agg-over-materialized-tuples)
+                    # the shared extraction stays warm — this row measures
+                    # linking, not a checkpoint read
                     kg.clear_caches(spark, which="link")
                 t0 = time.time()
                 counts[name] = fn(spark, sf_dir).count()
