@@ -44,7 +44,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from scikg_spark.ops import dedup, kg, multimodal, relational, similarity, text
+    from scikg_spark.ops import (
+        dedup, kg, multimodal, relational, sampling, similarity, text)
 
     def wrap(fn):
         def run(spark, sf_dir):
@@ -77,12 +78,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_token_regex": text.q_token_regex,
         "q_winnow_fingerprints": text.q_winnow_fingerprints,
         "q_repetition_stats": text.q_repetition_stats,
-        # deduplication
+        "q_tfidf_topk": text.q_tfidf_topk,
+        "q_pii_redact": text.q_pii_redact,
+        # deduplication + contamination
         "q_dedup_exact": dedup.q_dedup_exact,
         "q_minhash_dup_pairs": dedup.q_minhash_dup_pairs,
         "q_ngram_jaccard_pairs": dedup.q_ngram_jaccard_pairs,
         "q_simhash_buckets": dedup.q_simhash_buckets,
         "q_dedup_keep_policy": dedup.q_dedup_keep_policy,
+        "q_contamination": dedup.q_contamination,
+        # dataset management: deterministic splits & stratified sampling
+        "q_train_split": sampling.q_train_split,
+        "q_split_stats": sampling.q_split_stats,
+        "q_stratified_sample": sampling.q_stratified_sample,
         # similarity search
         "q_embedding_norms": similarity.q_embedding_norms,
         "q_cosine_topk": similarity.q_cosine_topk,
@@ -108,9 +116,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from scikg_spark.ops import dedup, kg, multimodal, relational, similarity, text
+    from scikg_spark.ops import (
+        dedup, kg, multimodal, relational, sampling, similarity, text)
 
     out: dict[str, str] = {}
-    for module in (relational, text, dedup, similarity, multimodal, kg):
+    for module in (relational, text, dedup, sampling, similarity, multimodal, kg):
         out.update(module.ORACLE)
     return out

@@ -351,3 +351,84 @@ ORACLE["q_simhash_buckets"] = f"""
     SELECT simhash, count(*) AS n_docs, min(doc_id) AS min_doc
     FROM sim GROUP BY simhash HAVING count(*) > 1
 """
+
+
+# -- benchmark-contamination check -------------------------------------------
+
+CONTAM_K = 8          # word k-grams (the n-gram size eval-contamination
+                      # scans usually use)
+CONTAM_BAND = "0"     # benchmark set = docs whose salted md5 starts with
+                      # this hex digit (~1/16 of the corpus) — deterministic,
+                      # engine-neutral stand-in for a real eval-set table
+
+
+def q_contamination(spark, sf_dir):
+    """Benchmark-contamination scan: corpus documents sharing at least one
+    word-8-gram with any held-out 'benchmark' document. The real-world op
+    joins training docs against an eval-set gram table; here the benchmark
+    band is carved deterministically out of the same corpus so the whole
+    scheme duels.
+
+    Scale shape: grams shuffle as 60-bit md5-prefix ints; the join is an
+    equi-join on gram_h with the standard hot-gram cap (a boilerplate gram
+    in > _MAX_BUCKET docs is dropped, not exploded); the benchmark side is
+    ~1/16 of the gram table. Output: one row per contaminated corpus doc
+    with distinct shared-gram and benchmark-doc counts."""
+    from pyspark.sql.window import Window
+
+    docs = _docs(spark, sf_dir).filter(
+        F.size(F.split("text", " ")) >= CONTAM_K)
+    grams = (
+        docs.select("doc_id", F.explode(_word_shingles(CONTAM_K)).alias("gram"))
+        .select("doc_id",
+                F.expr("cast(conv(substring(md5(gram), 1, 15), 16, 10) "
+                       "as bigint)").alias("gram_h"))
+        .distinct()
+    )
+    capped = (
+        grams.withColumn(
+            "_n", F.count("*").over(Window.partitionBy("gram_h")))
+        .filter(F.col("_n") <= _MAX_BUCKET)
+        .drop("_n")
+    )
+    is_bench = F.expr(
+        f"substring(md5(concat('bench:', cast(doc_id as string))), 1, 1) "
+        f"= '{CONTAM_BAND}'")
+    bench = capped.filter(is_bench).select(
+        F.col("doc_id").alias("bench_doc"), "gram_h")
+    corpus = capped.filter(~is_bench)
+    return (
+        corpus.join(bench, "gram_h")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("gram_h").alias("n_shared_grams"),
+             F.countDistinct("bench_doc").alias("n_bench_docs"))
+    )
+
+
+ORACLE["q_contamination"] = f"""
+    WITH grams AS (
+        SELECT DISTINCT doc_id,
+               ('0x' || substring(md5(gram), 1, 15))::BIGINT AS gram_h
+        FROM (SELECT doc_id, unnest({_sql_shingles(CONTAM_K)}) AS gram
+              FROM documents
+              WHERE len(string_split(text, ' ')) >= {CONTAM_K}) g
+    ),
+    capped AS (
+        SELECT gr.* FROM grams gr
+        JOIN (SELECT gram_h FROM grams GROUP BY gram_h
+              HAVING count(*) <= {_MAX_BUCKET}) cap
+          ON gr.gram_h = cap.gram_h
+    ),
+    flagged AS (
+        SELECT *, substring(md5('bench:' || CAST(doc_id AS VARCHAR)), 1, 1)
+                      = '{CONTAM_BAND}' AS is_bench
+        FROM capped
+    )
+    SELECT c.doc_id,
+           count(DISTINCT c.gram_h) AS n_shared_grams,
+           count(DISTINCT b.doc_id) AS n_bench_docs
+    FROM flagged c
+    JOIN flagged b ON c.gram_h = b.gram_h
+    WHERE NOT c.is_bench AND b.is_bench
+    GROUP BY c.doc_id
+"""

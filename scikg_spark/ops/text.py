@@ -252,3 +252,103 @@ ORACLE["q_winnow_fingerprints"] = f"""
     SELECT DISTINCT doc_id, fp FROM winnowed
     WHERE pos <= max_pos - {WINNOW_WINDOW} + 1
 """
+
+
+# -- TF-IDF keyword extraction ------------------------------------------------
+
+TFIDF_K = 3  # shared with the oracle (duel parity holds for defaults)
+
+
+def q_tfidf_topk(spark, sf_dir, k: int = TFIDF_K):
+    """Top-k TF-IDF terms per document: tf from an explode+groupBy, df from
+    one aggregation over the same frame, N via a broadcast single-row
+    aggregate (NO driver-side count at plan build). Ranking uses the ROUNDED
+    score with word as tie-break, so the top-k set is stable across engines
+    and float libms. Scale: two shuffles (doc,word then word) + a broadcast;
+    vocabulary-sized df table joins back by word equi-join (AQE sizes it)."""
+    from pyspark.sql.window import Window
+
+    docs = _docs(spark, sf_dir).filter(F.col("n_chars") > 0)
+    n_docs = docs.agg(F.count("*").alias("n_total"))
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("word").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(df, "word")
+        .join(F.broadcast(n_docs))
+        .withColumn("tfidf", F.round(
+            F.col("tf") * F.expr("ln((n_total + 1.0) / (df + 1.0))"), 4))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("word"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "word", F.col("tf").cast("long").alias("tf"),
+                F.col("df").cast("long").alias("df"), "tfidf",
+                F.col("rank").cast("long").alias("rank"))
+    )
+
+
+ORACLE["q_tfidf_topk"] = f"""
+    WITH tf AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        FROM documents WHERE n_chars > 0
+    ),
+    tfc AS (SELECT doc_id, word, count(*) AS tf FROM tf GROUP BY 1, 2),
+    dfc AS (SELECT word, count(*) AS df FROM tfc GROUP BY 1),
+    n AS (SELECT count(*) AS n_total FROM documents WHERE n_chars > 0),
+    scored AS (
+        SELECT t.doc_id, t.word, t.tf, d.df,
+               round(t.tf * ln((n.n_total + 1.0) / (d.df + 1.0)), 4) AS tfidf
+        FROM tfc t JOIN dfc d ON t.word = d.word CROSS JOIN n
+    ),
+    ranked AS (
+        SELECT doc_id, word, tf, df, tfidf,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY tfidf DESC, word ASC) AS rank
+        FROM scored
+    )
+    SELECT doc_id, word, tf, df, tfidf, rank
+    FROM ranked WHERE rank <= {TFIDF_K}
+"""
+
+
+# -- PII redaction ------------------------------------------------------------
+
+# deliberately simple, RE2/Java-compatible patterns (no backrefs/lookaround);
+# shared verbatim between the Spark calls and the DuckDB mirror
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PHONE_RE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+def q_pii_redact(spark, sf_dir):
+    """PII scrubbing: count + redact email/phone patterns (the pre-training
+    cleanup step). Pure JVM regex per row — no Python, no shuffle. The
+    shipped corpus contains no PII, so the duel pins the zero case; the
+    planted-fixture test in tests/test_text_ops.py pins actual redaction."""
+    docs = _docs(spark, sf_dir)
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("text"), EMAIL_RE, "<EMAIL>"),
+        PHONE_RE, "<PHONE>")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(EMAIL_RE), F.lit(0)))
+        .cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(PHONE_RE), F.lit(0)))
+        .cast("long").alias("n_phones"),
+        F.length(redacted).cast("long").alias("redacted_len"))
+
+
+ORACLE["q_pii_redact"] = f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS BIGINT)
+               AS n_emails,
+           CAST(len(regexp_extract_all(text, '{PHONE_RE}')) AS BIGINT)
+               AS n_phones,
+           CAST(length(regexp_replace(regexp_replace(text, '{EMAIL_RE}',
+                '<EMAIL>', 'g'), '{PHONE_RE}', '<PHONE>', 'g')) AS BIGINT)
+               AS redacted_len
+    FROM documents
+"""

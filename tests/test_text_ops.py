@@ -1,0 +1,84 @@
+"""Non-empty-case fixtures for the round-3 dataset-management ops: the
+shipped corpus contains no PII and little cross-band 8-gram overlap, so the
+duels alone could green a broken operator on empty output."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _write_docs(spark, tmp_path, rows):
+    out = str(tmp_path / "sfx")
+    spark.createDataFrame(
+        [(i, t, "en", "src0", len(t)) for i, t in enumerate(rows)],
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{out}/documents.parquet")
+    return out
+
+
+def test_pii_redact_planted(spark, tmp_path):
+    from scikg_spark.ops.text import q_pii_redact
+
+    out = _write_docs(spark, tmp_path, [
+        "contact alice at alice.smith+x@example.org or 555-123-4567 now",
+        "no pii here at all",
+        "two mails a@b.co c@d.io and 111-222-3333 999-888-7777",
+    ])
+    got = {r["doc_id"]: r for r in q_pii_redact(spark, out).collect()}
+    assert got[0]["n_emails"] == 1 and got[0]["n_phones"] == 1
+    assert got[1]["n_emails"] == 0 and got[1]["n_phones"] == 0
+    assert got[2]["n_emails"] == 2 and got[2]["n_phones"] == 2
+    # redaction actually shrinks/replaces: doc 0 becomes
+    # "contact alice at <EMAIL> or <PHONE> now"
+    assert got[0]["redacted_len"] == len("contact alice at <EMAIL> or <PHONE> now")
+
+
+def test_contamination_planted(spark, tmp_path):
+    """Plant an exact 8-gram shared between a benchmark-band doc and corpus
+    docs; the scan must flag exactly the non-benchmark sharers."""
+    import hashlib
+
+    from scikg_spark.ops.dedup import CONTAM_BAND, q_contamination
+
+    overlap = "alpha beta gamma delta epsilon zeta eta theta"  # 8 words
+    fill = ["w%d" % i for i in range(8)]
+    rows = {}
+    # find one doc id in the benchmark band and two outside it
+    ids = []
+    for i in range(200):
+        band = hashlib.md5(f"bench:{i}".encode()).hexdigest()[0] == CONTAM_BAND
+        ids.append((i, band))
+    bench_id = next(i for i, b in ids if b)
+    corp = [i for i, b in ids if not b][:3]
+    texts = {bench_id: overlap + " " + " ".join(fill)}
+    texts[corp[0]] = "x0 x1 " + overlap           # shares the 8-gram
+    texts[corp[1]] = overlap + " tail0 tail1"     # shares it too
+    texts[corp[2]] = " ".join(f"z{i}" for i in range(12))  # clean
+    out = str(tmp_path / "sfc")
+    spark.createDataFrame(
+        [(i, t, "en", "src0", len(t)) for i, t in texts.items()],
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{out}/documents.parquet")
+
+    got = {r["doc_id"]: r for r in q_contamination(spark, out).collect()}
+    assert set(got) == {corp[0], corp[1]}
+    for d in (corp[0], corp[1]):
+        assert got[d]["n_shared_grams"] >= 1
+        assert got[d]["n_bench_docs"] == 1
+
+
+def test_train_split_deterministic_and_complete(spark):
+    from scikg_spark.ops.sampling import q_train_split
+
+    sf = "/root/testdata/sf0.01"
+    a = {(r["doc_id"], r["split"]) for r in q_train_split(spark, sf).collect()}
+    b = {(r["doc_id"], r["split"]) for r in q_train_split(spark, sf).collect()}
+    assert a == b  # rerun-stable (no random())
+    splits = {}
+    for _, s in a:
+        splits[s] = splits.get(s, 0) + 1
+    n = sum(splits.values())
+    assert n == 500
+    # hash family lands near 80/10/10 (binomial tolerance at n=500)
+    assert abs(splits.get("train", 0) / n - 0.8) < 0.06
+    assert abs(splits.get("val", 0) / n - 0.1) < 0.05
+    assert abs(splits.get("test", 0) / n - 0.1) < 0.05
