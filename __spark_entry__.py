@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entity_edges": kg.kg_entity_edges,
         "kg_statement_stats": kg.kg_statement_stats,
         "kg_entity_cooccurrence": kg.kg_entity_cooccurrence,
+        "kg_degree_stats": kg.kg_degree_stats,
     }
     return {name: wrap(fn) for name, fn in qs.items()}
 

@@ -337,3 +337,74 @@ ORACLE = {
         WHERE rn = 1 AND support >= {_COOC_MIN_SUPPORT}
     """,
 }
+
+
+def kg_degree_stats(spark, sf_dir, top_k: int = 20):
+    """Graph-degree analytics over the materialized edges: per-entity
+    subject-degree (distinct objects), object-degree (distinct subjects) and
+    statement support; top hubs by total degree. SQL over the snapshot, so
+    it duels like the other downstream aggregations."""
+    from pyspark.sql.window import Window
+
+    edges = _materialized(spark, sf_dir, "edges")
+    paired = edges.filter(
+        F.col("subj_entity").isNotNull() & F.col("obj_entity").isNotNull())
+    out_d = paired.groupBy(F.col("subj_entity").alias("entity_id")).agg(
+        F.countDistinct("obj_entity").alias("out_degree"),
+        F.count("*").alias("out_support"))
+    in_d = paired.groupBy(F.col("obj_entity").alias("entity_id")).agg(
+        F.countDistinct("subj_entity").alias("in_degree"),
+        F.count("*").alias("in_support"))
+    deg = (
+        out_d.join(in_d, "entity_id", "full")
+        .fillna(0)
+        .withColumn("total_degree", F.col("out_degree") + F.col("in_degree"))
+    )
+    # top-k via TakeOrdered (distributed), THEN rank the k survivors with a
+    # single-partition window — never a global window over the full entity
+    # set. Column-derived constant partition key (survives constant folding).
+    top = deg.orderBy(F.desc("total_degree"), F.asc("entity_id")).limit(top_k)
+    w = Window.partitionBy(
+        F.substring(F.col("entity_id").cast("string"), 1, 0)
+    ).orderBy(F.desc("total_degree"), F.asc("entity_id"))
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .select("entity_id", "out_degree", "in_degree", "total_degree",
+                "out_support", "in_support",
+                F.col("rank").cast("long").alias("rank"))
+    )
+
+
+ORACLE["kg_degree_stats"] = f"""
+    WITH paired AS (
+        SELECT subj_entity, obj_entity FROM read_parquet('{_E}')
+        WHERE subj_entity IS NOT NULL AND obj_entity IS NOT NULL
+    ),
+    out_d AS (
+        SELECT subj_entity AS entity_id,
+               count(DISTINCT obj_entity) AS out_degree,
+               count(*) AS out_support
+        FROM paired GROUP BY 1
+    ),
+    in_d AS (
+        SELECT obj_entity AS entity_id,
+               count(DISTINCT subj_entity) AS in_degree,
+               count(*) AS in_support
+        FROM paired GROUP BY 1
+    ),
+    deg AS (
+        SELECT coalesce(o.entity_id, i.entity_id) AS entity_id,
+               coalesce(o.out_degree, 0) AS out_degree,
+               coalesce(i.in_degree, 0) AS in_degree,
+               coalesce(o.out_degree, 0) + coalesce(i.in_degree, 0)
+                   AS total_degree,
+               coalesce(o.out_support, 0) AS out_support,
+               coalesce(i.in_support, 0) AS in_support
+        FROM out_d o FULL JOIN in_d i ON o.entity_id = i.entity_id
+    )
+    SELECT entity_id, out_degree, in_degree, total_degree,
+           out_support, in_support, rank
+    FROM (SELECT *, row_number() OVER (
+              ORDER BY total_degree DESC, entity_id ASC) AS rank FROM deg)
+    WHERE rank <= 20
+"""

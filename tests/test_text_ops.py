@@ -82,3 +82,29 @@ def test_train_split_deterministic_and_complete(spark):
     assert abs(splits.get("train", 0) / n - 0.8) < 0.06
     assert abs(splits.get("val", 0) / n - 0.1) < 0.05
     assert abs(splits.get("test", 0) / n - 0.1) < 0.05
+
+
+def test_new_op_plans_have_no_nested_loop_pairs(spark):
+    """Pair/row generation in the round-3 ops must stay equi-join shaped:
+    no BroadcastNestedLoopJoin/CartesianProduct anywhere except the
+    intentional single-row-N broadcast in tfidf."""
+    from scikg_spark.ops.dedup import q_contamination
+    from scikg_spark.ops.kg import kg_degree_stats
+    from scikg_spark.ops.sampling import q_train_split
+
+    sf = "/root/testdata/sf0.001"
+    for fn in (q_contamination, q_train_split, kg_degree_stats):
+        plan = fn(spark, sf)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, fn.__name__
+        assert "BroadcastNestedLoopJoin" not in plan, fn.__name__
+
+
+def test_tfidf_broadcasts_only_the_single_row_n(spark):
+    from scikg_spark.ops.text import q_tfidf_topk
+
+    plan = q_tfidf_topk(spark, "/root/testdata/sf0.001") \
+        ._jdf.queryExecution().executedPlan().toString()
+    # the single-row N aggregate is the only nested-loop (1-row broadcast);
+    # the word-df join must be a real equi-join
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "CartesianProduct" not in plan
