@@ -68,3 +68,19 @@ def test_clear_caches_evicts_and_unpersists(spark, corpus_dir):
     assert kg._TUPLES_CACHE
     kg.clear_caches(spark)
     assert not kg._TUPLES_CACHE and not kg._LINK_CACHE
+
+
+def test_committed_snapshots_fresh_for_all_sfs(spark):
+    """The COMMITTED kg_materialized snapshots must match the current
+    testdata (the DuckDB oracle mirrors read them blind). Self-healing: a
+    stale snapshot (e.g. the driver regenerated testdata) is re-materialized
+    here, so a pytest pass guarantees duel-ready snapshots."""
+    from scikg_spark.ops import kg
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        sf_dir = f"/root/testdata/{sf}"
+        out = kg.materialize_kg_tables(spark, sf_dir)
+        with open(os.path.join(out, "FINGERPRINT")) as fh:
+            assert fh.read().strip() == kg._fingerprint(sf_dir), sf
+        assert spark.read.parquet(os.path.join(out, "tuples")).count() > 0
+        assert spark.read.parquet(os.path.join(out, "edges")).count() > 0
