@@ -58,13 +58,19 @@ def q_dedup_exact(spark, sf_dir):
     )
 
 
+def _shingle_sql(k: int) -> str:
+    """Spark-SQL text for the word k-gram array of `text` (empty array when
+    too short) — exposed as a string so callers can compose it inside larger
+    expressions (in-place hashing/dedup) without a Column round-trip."""
+    return ("case when size(split(text, ' ')) < {k} then array() "
+            "else transform(sequence(0, size(split(text, ' ')) - {k}), "
+            "i -> concat_ws(' ', slice(split(text, ' '), i + 1, {k}))) end"
+            .format(k=k))
+
+
 def _word_shingles(k: int):
     """word k-gram strings of `text` (empty array when too short)."""
-    return F.expr(
-        "case when size(split(text, ' ')) < {k} then array() "
-        "else transform(sequence(0, size(split(text, ' ')) - {k}), "
-        "i -> concat_ws(' ', slice(split(text, ' '), i + 1, {k}))) end"
-        .format(k=k))
+    return F.expr(_shingle_sql(k))
 
 
 def q_minhash_dup_pairs(spark, sf_dir):
@@ -124,19 +130,20 @@ def q_ngram_jaccard_pairs(spark, sf_dir, threshold: float = 0.5):
     group-by, union sizes from per-doc distinct counts."""
     docs = _docs(spark, sf_dir).filter(F.size(F.split("text", " ")) >= 2)
     # grams shuffle as 60-bit ints (md5-prefix hash, engine-neutral), not
-    # ~15-char strings: the distinct / window-cap / self-join shuffles carry
-    # 8-byte keys. 60 bits ≈ zero collisions at any per-block gram count
-    # that survives the cap — and the oracle hashes identically, so the
-    # duel checks the hashed scheme end to end.
-    grams = (
-        docs.select("doc_id", "lang", "source",
-                    F.explode(_word_shingles(2)).alias("gram"))
-        .select("doc_id", "lang", "source",
-                F.expr("cast(conv(substring(md5(gram), 1, 15), 16, 10) "
-                       "as bigint)").alias("gram_h"))
-        .distinct()
-    )
-    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    # ~15-char strings: the window-cap / self-join shuffles carry 8-byte
+    # keys. 60 bits ≈ zero collisions at any per-block gram count that
+    # survives the cap — and the oracle hashes identically, so the duel
+    # checks the hashed scheme end to end. Per-doc dedup happens IN PLACE
+    # (array_distinct before AND after hashing, mirroring the oracle's
+    # DISTINCT-on-hash semantics exactly even under a collision), so the
+    # exploded gram table needs NO distinct shuffle and the per-doc set
+    # sizes come from a map-only projection instead of an aggregation.
+    gram_set = F.expr(
+        f"array_distinct(transform(array_distinct({_shingle_sql(2)}), "
+        "g -> cast(conv(substring(md5(g), 1, 15), 16, 10) as bigint)))")
+    grams = docs.select(
+        "doc_id", "lang", "source", F.explode(gram_set).alias("gram_h"))
+    sizes = docs.select("doc_id", F.size(gram_set).alias("n_grams"))
     # hot-gram cap: a stop-bigram present in > _MAX_BUCKET docs of one
     # (lang, source) block is excluded from PAIR GENERATION (union sizes stay
     # exact — computed from the uncapped grams above); mirrored in the oracle.
@@ -378,13 +385,12 @@ def q_contamination(spark, sf_dir):
 
     docs = _docs(spark, sf_dir).filter(
         F.size(F.split("text", " ")) >= CONTAM_K)
-    grams = (
-        docs.select("doc_id", F.explode(_word_shingles(CONTAM_K)).alias("gram"))
-        .select("doc_id",
-                F.expr("cast(conv(substring(md5(gram), 1, 15), 16, 10) "
-                       "as bigint)").alias("gram_h"))
-        .distinct()
-    )
+    # per-doc dedup in place (no distinct shuffle of the exploded grams);
+    # double array_distinct mirrors the oracle's DISTINCT-on-hash exactly
+    grams = docs.select("doc_id", F.explode(F.expr(
+        f"array_distinct(transform(array_distinct({_shingle_sql(CONTAM_K)}), "
+        "g -> cast(conv(substring(md5(g), 1, 15), 16, 10) as bigint)))"
+    )).alias("gram_h"))
     capped = (
         grams.withColumn(
             "_n", F.count("*").over(Window.partitionBy("gram_h")))
