@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_repetition_stats": text.q_repetition_stats,
         "q_tfidf_topk": text.q_tfidf_topk,
         "q_pii_redact": text.q_pii_redact,
+        "q_filter_policy": text.q_filter_policy,
         # deduplication + contamination
         "q_dedup_exact": dedup.q_dedup_exact,
         "q_minhash_dup_pairs": dedup.q_minhash_dup_pairs,

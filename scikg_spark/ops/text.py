@@ -352,3 +352,73 @@ ORACLE["q_pii_redact"] = f"""
                AS redacted_len
     FROM documents
 """
+
+
+# -- composite keep/drop filter policy ---------------------------------------
+
+FILTER_LANG = "en"
+FILTER_MIN_WORDS = 10
+
+
+def q_filter_policy(spark, sf_dir):
+    """The actual keep/drop decision a training-data pipeline applies before
+    dedup: language gate, length gate, Gopher-style repetition gate, and the
+    benchmark-contamination gate — each doc labeled with the FIRST failing
+    rule (stable reason order) or 'ok'. Composes the already-duelled pieces;
+    the only join is a left join against the (small) contaminated-doc set.
+    SQL-expressible end to end, so the composite policy itself duels."""
+    from scikg_spark.ops.dedup import _word_shingles, q_contamination
+
+    docs = _docs(spark, sf_dir)
+    n_words = F.size(F.split("text", " "))
+    g = _word_shingles(2)
+    dup_frac = F.when(
+        n_words >= 2,
+        F.round(F.lit(1.0) - F.size(F.array_distinct(g)) /
+                F.size(g).cast("double"), 4)
+    ).otherwise(F.lit(0.0))
+    contam = q_contamination(spark, sf_dir).select(
+        "doc_id", F.lit(1).alias("_contam"))
+    base = docs.select("doc_id", "lang", n_words.alias("n_words"),
+                       dup_frac.alias("dup_frac"))
+    reason = (
+        F.when(F.col("lang") != FILTER_LANG, F.lit("lang"))
+        .when(F.col("n_words") < FILTER_MIN_WORDS, F.lit("too_short"))
+        .when(F.col("dup_frac") >= REPETITION_THRESHOLD, F.lit("repetition"))
+        .when(F.col("_contam").isNotNull(), F.lit("contaminated"))
+        .otherwise(F.lit("ok")))
+    return (
+        base.join(contam, "doc_id", "left")
+        .withColumn("reason", reason)
+        .select("doc_id", (F.col("reason") == "ok").alias("keep"), "reason")
+    )
+
+
+def _filter_policy_oracle() -> str:
+    from scikg_spark.ops.dedup import ORACLE as DEDUP_ORACLE
+
+    return f"""
+    WITH contam AS ({DEDUP_ORACLE["q_contamination"]}),
+    base AS (
+        SELECT doc_id, lang,
+               len(string_split(text, ' ')) AS n_words,
+               CASE WHEN len(string_split(text, ' ')) >= 2
+                    THEN round(1.0 - len(list_distinct({_sql_bigrams()}))
+                               * 1.0 / len({_sql_bigrams()}), 4)
+                    ELSE 0.0 END AS dup_frac
+        FROM documents
+    ),
+    labeled AS (
+        SELECT b.doc_id,
+               CASE WHEN b.lang != '{FILTER_LANG}' THEN 'lang'
+                    WHEN b.n_words < {FILTER_MIN_WORDS} THEN 'too_short'
+                    WHEN b.dup_frac >= {REPETITION_THRESHOLD} THEN 'repetition'
+                    WHEN c.doc_id IS NOT NULL THEN 'contaminated'
+                    ELSE 'ok' END AS reason
+        FROM base b LEFT JOIN contam c ON b.doc_id = c.doc_id
+    )
+    SELECT doc_id, reason = 'ok' AS keep, reason FROM labeled
+    """
+
+
+ORACLE["q_filter_policy"] = _filter_policy_oracle()

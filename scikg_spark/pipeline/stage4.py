@@ -166,6 +166,30 @@ class SnapshotCatalog:
         os.replace(tmp, self._manifest_path(table))
         return manifest
 
+    def expire_snapshots(self, table: str, keep_last: int = 2) -> list[int]:
+        """Iceberg-style snapshot expiry (``expireSnapshots`` maintenance):
+        delete snapshot data dirs + history manifests older than the
+        ``keep_last`` most recent, ALWAYS keeping the current pointer's
+        snapshot (a rolled-back table never loses its live data). Returns
+        the removed snapshot ids; time travel to them raises afterwards."""
+        import shutil
+
+        current = self.manifest(table)
+        ids = self._snapshot_ids(table)
+        keep = set(ids[-keep_last:] if keep_last > 0 else [])
+        if current:
+            keep.add(current["snapshot_id"])
+        removed = []
+        for sid in ids:
+            if sid in keep:
+                continue
+            shutil.rmtree(os.path.join(self._table_dir(table), f"snap-{sid}"),
+                          ignore_errors=True)
+            os.remove(os.path.join(self._table_dir(table),
+                                   f"manifest-{sid}.json"))
+            removed.append(sid)
+        return removed
+
     def write_metrics(self, stage: str, payload: dict):
         """Append a stage-level metrics record (the `_metrics` table)."""
         path = os.path.join(self.base_dir, "_metrics.jsonl")

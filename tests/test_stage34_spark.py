@@ -104,6 +104,24 @@ class TestSnapshots:
         with pytest.raises(FileNotFoundError):
             cat.read("t", snapshot_id=99)
 
+    def test_expire_snapshots(self, spark, tmp_path):
+        """Iceberg expireSnapshots semantics: old snapshots vacuumed, the
+        keep_last newest AND the current pointer always survive."""
+        cat = SnapshotCatalog(spark, str(tmp_path))
+        for n in (3, 5, 7, 9):
+            cat.write(spark.range(n), "t")
+        # roll back to snap-2 so current pointer != newest
+        cat.rollback("t", 2)
+        removed = cat.expire_snapshots("t", keep_last=2)
+        assert removed == [1]  # 3,4 newest; 2 is the live pointer
+        assert cat.read("t").count() == 5          # live data intact
+        assert cat.read("t", snapshot_id=4).count() == 9
+        assert [m["snapshot_id"] for m in cat.history("t")] == [2, 3, 4]
+        with pytest.raises(FileNotFoundError):
+            cat.read("t", snapshot_id=1)           # expired = gone
+        # next write still gets a fresh id above the surviving history
+        assert cat.write(spark.range(2), "t")["snapshot_id"] == 5
+
     def test_incomplete_table_not_readable(self, spark, tmp_path):
         cat = SnapshotCatalog(spark, str(tmp_path))
         os.makedirs(tmp_path / "broken" / "snap-1")

@@ -108,3 +108,57 @@ def test_tfidf_broadcasts_only_the_single_row_n(spark):
     # the word-df join must be a real equi-join
     assert plan.count("BroadcastNestedLoopJoin") <= 1
     assert "CartesianProduct" not in plan
+
+
+def test_filter_policy_all_reasons(spark, tmp_path):
+    """Fixture exercising every rule of the composite policy (the shipped
+    corpus never triggers too_short/repetition)."""
+    import hashlib
+
+    from scikg_spark.ops.dedup import CONTAM_BAND
+    from scikg_spark.ops.text import q_filter_policy
+
+    ids = {hashlib.md5(f"bench:{i}".encode()).hexdigest()[0] == CONTAM_BAND: i
+           for i in range(100, 9, -1)}  # one band id, one non-band id (>= 10,
+                                        # clear of the fixed ids below)
+    bench_id, clean_id = ids[True], ids[False]
+    overlap = "alpha beta gamma delta epsilon zeta eta theta"
+    long_tail = " ".join(f"w{i}" for i in range(12))
+    rows = [
+        (1, "ein deutscher text " + long_tail, "de", "src0", 10),   # lang
+        (2, "short text here", "en", "src0", 10),                   # too_short
+        (3, ("dup gram " * 12).strip(), "en", "src0", 10),          # repetition
+        (clean_id, overlap + " " + long_tail, "en", "src0", 10),    # contaminated
+        (bench_id, overlap + " x1 x2 x3 x4 x5 x6 x7 x8 x9", "en", "src0", 10),
+        (5, "a perfectly ordinary sentence with enough distinct words inside it",
+         "en", "src0", 10),                                         # ok
+    ]
+    out = str(tmp_path / "sfp")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{out}/documents.parquet")
+    got = {r["doc_id"]: r["reason"] for r in q_filter_policy(spark, out).collect()}
+    assert got[1] == "lang"
+    assert got[2] == "too_short"
+    assert got[3] == "repetition"
+    assert got[clean_id] == "contaminated"
+    assert got[5] == "ok"
+
+
+def test_new_ops_handle_empty_corpus(spark, tmp_path):
+    """Empty documents table -> every round-3 op returns an empty frame with
+    its full schema (no Arrow empty-batch degradation, no div-by-zero)."""
+    from scikg_spark.ops.dedup import q_contamination
+    from scikg_spark.ops.sampling import (
+        q_split_stats, q_stratified_sample, q_train_split)
+    from scikg_spark.ops.text import q_filter_policy, q_pii_redact, q_tfidf_topk
+
+    out = str(tmp_path / "sfe")
+    spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{out}/documents.parquet")
+    for fn in (q_train_split, q_split_stats, q_stratified_sample,
+               q_tfidf_topk, q_pii_redact, q_contamination, q_filter_policy):
+        df = fn(spark, out)
+        assert df.count() == 0, fn.__name__
+        assert len(df.columns) >= 2, fn.__name__
