@@ -68,16 +68,19 @@ class LanguageModel:
 
     # -- persistence --------------------------------------------------------
     def save(self, path: str) -> None:
+        # vocab as a plain unicode array (never dtype=object): checkpoints
+        # then load with allow_pickle=False, so a tampered/substituted .npz
+        # can't smuggle a pickle payload into load().
         words = sorted(self.vocab, key=self.vocab.get)
         np.savez_compressed(
             path, **{"lm_cell.w": self.cell.w, "lm_cell.b": self.cell.b,
                      "dec_w": self.dec_w, "dec_b": self.dec_b,
-                     "vocab": np.array(words, dtype=object)})
+                     "vocab": np.array(words, dtype=np.str_)})
 
     @classmethod
     def load(cls, path: str) -> "LanguageModel":
-        data = np.load(path, allow_pickle=True)
-        vocab = {w: i for i, w in enumerate(data["vocab"].tolist())}
+        data = np.load(path, allow_pickle=False)
+        vocab = {str(w): i for i, w in enumerate(data["vocab"].tolist())}
         w = data["lm_cell.w"]
         lm = cls(vocab, in_dim=w.shape[0] - data["dec_w"].shape[0],
                  hidden=data["dec_w"].shape[0])
@@ -91,7 +94,7 @@ class LanguageModel:
 def load_lm_into(model, path: str):
     """Install a trained LM cell into a ``use_lm=True`` MimoTagger (shape
     checked): its ``_lm_features`` then run on trained weights."""
-    data = np.load(path, allow_pickle=True)
+    data = np.load(path, allow_pickle=False)
     if model.lm_cell is None:
         raise ValueError("model was built with use_lm=False")
     if data["lm_cell.w"].shape != model.lm_cell.w.shape:

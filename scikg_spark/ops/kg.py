@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import tempfile
 
 from pyspark.sql import functions as F
 
@@ -31,6 +32,7 @@ _LINK_CACHE: dict[tuple, object] = {}
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 _MAT_ROOT = os.path.join(_REPO_ROOT, "checkpoints", "kg_materialized")
+_TESTDATA_ROOT = "/root/testdata"
 
 # phrase_map row-count threshold below which the entity-attach join
 # broadcasts the map (hash join, no shuffle of the big tuples side); above
@@ -40,9 +42,11 @@ BROADCAST_MAP_ROWS = 2_000_000
 
 
 def _src_stamp(sf_dir: str) -> tuple:
-    """(size, mtime) stamp of the corpus parquet — part of every cache key
+    """(size, mtime_ns) stamp of the corpus parquet — part of every cache key
     and of the materialization fingerprint, so a rewritten input invalidates
-    both within one Spark application."""
+    both within one Spark application. Nanosecond mtime: a same-size rewrite
+    within the same wall-clock second must still invalidate (integer-second
+    stamps served such rewrites stale)."""
     path = os.path.join(sf_dir, "documents.parquet")
     stats = []
     if os.path.isdir(path):
@@ -50,10 +54,10 @@ def _src_stamp(sf_dir: str) -> tuple:
             p = os.path.join(path, name)
             if os.path.isfile(p):
                 st = os.stat(p)
-                stats.append((name, st.st_size, int(st.st_mtime)))
+                stats.append((name, st.st_size, st.st_mtime_ns))
     elif os.path.isfile(path):
         st = os.stat(path)
-        stats.append((os.path.basename(path), st.st_size, int(st.st_mtime)))
+        stats.append((os.path.basename(path), st.st_size, st.st_mtime_ns))
     return tuple(stats)
 
 
@@ -74,6 +78,8 @@ def clear_caches(spark=None, which: str = "all") -> None:
             val = cache.pop(key)
             frames = val if isinstance(val, tuple) else (val,)
             for frame in frames:
+                if not hasattr(frame, "unpersist"):  # cached row counts
+                    continue
                 try:
                     frame.unpersist()
                 except Exception:
@@ -89,6 +95,8 @@ def _evict_stale(spark, cache: dict, key: tuple, sf_dir: str) -> None:
     for k in stale:
         val = cache.pop(k)
         for frame in (val if isinstance(val, tuple) else (val,)):
+            if not hasattr(frame, "unpersist"):  # cached row counts
+                continue
             try:
                 frame.unpersist()
             except Exception:
@@ -116,7 +124,10 @@ def _tuples(spark, sf_dir):
 def _linked(spark, sf_dir):
     """Entity linking shared between kg_entity_nodes and kg_entity_edges —
     one LSH + connected-components pass, checkpointed, both queries read it
-    (the runner materializes the same pair of tables as stage-3 snapshots)."""
+    (the runner materializes the same pair of tables as stage-3 snapshots).
+    Returns (nodes, phrase_map, phrase_map_rows): the row count rides the
+    cache entry so repeat attach_entities calls never re-pay a driver
+    count() round-trip."""
     from scikg_spark.pipeline.stage3 import link_entities
 
     key = _key(spark, sf_dir)
@@ -125,9 +136,10 @@ def _linked(spark, sf_dir):
         return cached
     _evict_stale(spark, _LINK_CACHE, key, sf_dir)
     nodes, phrase_map = link_entities(_tuples(spark, sf_dir))
-    pair = (nodes.localCheckpoint(), phrase_map.localCheckpoint())
-    _LINK_CACHE[key] = pair
-    return pair
+    phrase_map = phrase_map.localCheckpoint()
+    entry = (nodes.localCheckpoint(), phrase_map, phrase_map.count())
+    _LINK_CACHE[key] = entry
+    return entry
 
 
 def kg_triples(spark, sf_dir):
@@ -136,12 +148,16 @@ def kg_triples(spark, sf_dir):
         "doc_id", "stmt_id", "kind", "tuple_idx", "subj", "pred", "obj")
 
 
-def attach_entities(tuples, phrase_map, broadcast_threshold: int = BROADCAST_MAP_ROWS):
+def attach_entities(tuples, phrase_map, broadcast_threshold: int = BROADCAST_MAP_ROWS,
+                    map_rows: int | None = None):
     """Join subject/object entity ids onto the tuples frame.
 
-    ``phrase_map`` is a checkpointed dimension, so its count() is cheap. Maps
-    under ``broadcast_threshold`` rows broadcast — a hash join where hot
-    mention strings never concentrate on one reducer. Bigger maps take
+    ``map_rows`` (pass the count cached alongside the checkpointed dimension
+    when you have it — ``_linked`` does) picks the join strategy without a
+    per-call driver count() round-trip; when absent, the checkpointed
+    dimension's count() is cheap. Maps under ``broadcast_threshold`` rows
+    broadcast — a hash join where hot mention strings never concentrate on
+    one reducer. Bigger maps take
     :func:`scikg_spark.pipeline.skew.salted_join` (left-join safe), the
     documented skew strategy for broadcast-ineligible hot-key dimensions.
     """
@@ -149,7 +165,9 @@ def attach_entities(tuples, phrase_map, broadcast_threshold: int = BROADCAST_MAP
         F.col("phrase").alias("_sp"), F.col("entity_id").alias("subj_entity"))
     dst = phrase_map.select(
         F.col("phrase").alias("_op"), F.col("entity_id").alias("obj_entity"))
-    if phrase_map.count() <= broadcast_threshold:
+    if map_rows is None:
+        map_rows = phrase_map.count()
+    if map_rows <= broadcast_threshold:
         joined = (
             tuples.join(F.broadcast(src), tuples["s_c.text"] == F.col("_sp"), "left")
             .join(F.broadcast(dst), tuples["o_c.text"] == F.col("_op"), "left")
@@ -167,7 +185,7 @@ def attach_entities(tuples, phrase_map, broadcast_threshold: int = BROADCAST_MAP
 
 def kg_entity_nodes(spark, sf_dir):
     """Stage-3 canonical entities over the extracted concept mentions."""
-    nodes, _ = _linked(spark, sf_dir)
+    nodes, _, _ = _linked(spark, sf_dir)
     return nodes.orderBy("entity_id")
 
 
@@ -175,8 +193,8 @@ def kg_entity_edges(spark, sf_dir):
     """Graph-shaped output: tuples with subject/object entity ids attached
     (the stage-4 edges table as a query)."""
     t = _tuples(spark, sf_dir)
-    _, phrase_map = _linked(spark, sf_dir)
-    return attach_entities(t, phrase_map)
+    _, phrase_map, map_rows = _linked(spark, sf_dir)
+    return attach_entities(t, phrase_map, map_rows=map_rows)
 
 
 # ---------------------------------------------------------------------------
@@ -188,7 +206,18 @@ def kg_entity_edges(spark, sf_dir):
 _COOC_MIN_SUPPORT = 2
 
 def _mat_dir(sf_dir: str) -> str:
-    return os.path.join(_MAT_ROOT, os.path.basename(os.path.abspath(sf_dir)))
+    """Canonical corpora (children of /root/testdata) materialize into the
+    repo's committed checkpoints tree; anything else (test tmp dirs, copies
+    that happen to share a basename like 'sf0.01') routes to a per-abspath
+    slot under the system tmp root so distinct corpora never overwrite each
+    other's snapshot and tests never write into the committed artifacts."""
+    ap = os.path.abspath(sf_dir)
+    base = os.path.basename(ap)
+    if os.path.dirname(ap) == _TESTDATA_ROOT:
+        return os.path.join(_MAT_ROOT, base)
+    tag = hashlib.md5(ap.encode()).hexdigest()[:8]
+    return os.path.join(tempfile.gettempdir(), "scikg_kg_materialized",
+                        f"{base}-{tag}")
 
 
 def _fingerprint(sf_dir: str) -> str:
@@ -284,13 +313,21 @@ def kg_entity_cooccurrence(spark, sf_dir, min_support: int = _COOC_MIN_SUPPORT):
 
 
 # DuckDB mirrors over the SAME materialized parquet files the Spark side
-# scans. The driver duels at sf0.01 (documented contract), so the paths bake
-# that snapshot; tests/test_oracle_parity.py re-materializes before duelling.
-_T = os.path.join(_MAT_ROOT, "sf0.01", "tuples", "*.parquet")
-_E = os.path.join(_MAT_ROOT, "sf0.01", "edges", "*.parquet")
-
-ORACLE = {
-    "kg_top_facts": f"""
+# scans. ``kg_oracle(sf_dir)`` renders the mirrors for any corpus; the
+# module-level ORACLE (the driver contract) renders for the driver's duel
+# corpus — $SPARK_GRAFT_ORACLE_SF_DIR, default /root/testdata/sf0.01.
+# Duelling at a different SF must go through kg_oracle(sf_dir) so Spark and
+# DuckDB always read the same snapshot; tests/test_oracle_parity.py
+# re-materializes before duelling.
+def kg_oracle(sf_dir: str | None = None) -> dict[str, str]:
+    if sf_dir is None:
+        sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR",
+                                os.path.join(_TESTDATA_ROOT, "sf0.01"))
+    mat = _mat_dir(sf_dir)
+    _T = os.path.join(mat, "tuples", "*.parquet")
+    _E = os.path.join(mat, "edges", "*.parquet")
+    return {
+        "kg_top_facts": f"""
         WITH t AS (SELECT * FROM read_parquet('{_T}')),
         conds AS (
             SELECT doc_id, stmt_id, count(*) AS n_conditions
@@ -336,7 +373,43 @@ ORACLE = {
         FROM ranked
         WHERE rn = 1 AND support >= {_COOC_MIN_SUPPORT}
     """,
-}
+    "kg_degree_stats": f"""
+        WITH paired AS (
+            SELECT subj_entity, obj_entity FROM read_parquet('{_E}')
+            WHERE subj_entity IS NOT NULL AND obj_entity IS NOT NULL
+        ),
+        out_d AS (
+            SELECT subj_entity AS entity_id,
+                   count(DISTINCT obj_entity) AS out_degree,
+                   count(*) AS out_support
+            FROM paired GROUP BY 1
+        ),
+        in_d AS (
+            SELECT obj_entity AS entity_id,
+                   count(DISTINCT subj_entity) AS in_degree,
+                   count(*) AS in_support
+            FROM paired GROUP BY 1
+        ),
+        deg AS (
+            SELECT coalesce(o.entity_id, i.entity_id) AS entity_id,
+                   coalesce(o.out_degree, 0) AS out_degree,
+                   coalesce(i.in_degree, 0) AS in_degree,
+                   coalesce(o.out_degree, 0) + coalesce(i.in_degree, 0)
+                       AS total_degree,
+                   coalesce(o.out_support, 0) AS out_support,
+                   coalesce(i.in_support, 0) AS in_support
+            FROM out_d o FULL JOIN in_d i ON o.entity_id = i.entity_id
+        )
+        SELECT entity_id, out_degree, in_degree, total_degree,
+               out_support, in_support, rank
+        FROM (SELECT *, row_number() OVER (
+                  ORDER BY total_degree DESC, entity_id ASC) AS rank FROM deg)
+        WHERE rank <= 20
+    """,
+    }
+
+
+ORACLE = kg_oracle()
 
 
 def kg_degree_stats(spark, sf_dir, top_k: int = 20):
@@ -374,37 +447,3 @@ def kg_degree_stats(spark, sf_dir, top_k: int = 20):
                 F.col("rank").cast("long").alias("rank"))
     )
 
-
-ORACLE["kg_degree_stats"] = f"""
-    WITH paired AS (
-        SELECT subj_entity, obj_entity FROM read_parquet('{_E}')
-        WHERE subj_entity IS NOT NULL AND obj_entity IS NOT NULL
-    ),
-    out_d AS (
-        SELECT subj_entity AS entity_id,
-               count(DISTINCT obj_entity) AS out_degree,
-               count(*) AS out_support
-        FROM paired GROUP BY 1
-    ),
-    in_d AS (
-        SELECT obj_entity AS entity_id,
-               count(DISTINCT subj_entity) AS in_degree,
-               count(*) AS in_support
-        FROM paired GROUP BY 1
-    ),
-    deg AS (
-        SELECT coalesce(o.entity_id, i.entity_id) AS entity_id,
-               coalesce(o.out_degree, 0) AS out_degree,
-               coalesce(i.in_degree, 0) AS in_degree,
-               coalesce(o.out_degree, 0) + coalesce(i.in_degree, 0)
-                   AS total_degree,
-               coalesce(o.out_support, 0) AS out_support,
-               coalesce(i.in_support, 0) AS in_support
-        FROM out_d o FULL JOIN in_d i ON o.entity_id = i.entity_id
-    )
-    SELECT entity_id, out_degree, in_degree, total_degree,
-           out_support, in_support, rank
-    FROM (SELECT *, row_number() OVER (
-              ORDER BY total_degree DESC, entity_id ASC) AS rank FROM deg)
-    WHERE rank <= 20
-"""

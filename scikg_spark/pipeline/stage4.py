@@ -22,6 +22,7 @@ one-module change.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import time
@@ -185,8 +186,11 @@ class SnapshotCatalog:
                 continue
             shutil.rmtree(os.path.join(self._table_dir(table), f"snap-{sid}"),
                           ignore_errors=True)
-            os.remove(os.path.join(self._table_dir(table),
-                                   f"manifest-{sid}.json"))
+            # idempotent like the rmtree: a concurrently-expired or manually
+            # deleted manifest must not abort the loop mid-expiry
+            with contextlib.suppress(FileNotFoundError):
+                os.remove(os.path.join(self._table_dir(table),
+                                       f"manifest-{sid}.json"))
             removed.append(sid)
         return removed
 
