@@ -113,6 +113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_statement_stats": kg.kg_statement_stats,
         "kg_entity_cooccurrence": kg.kg_entity_cooccurrence,
         "kg_degree_stats": kg.kg_degree_stats,
+        "kg_synonym_clusters": kg.kg_synonym_clusters,
     }
     return {name: wrap(fn) for name, fn in qs.items()}
 

@@ -8,10 +8,11 @@ are attached per token in utils.py:421-447. The pretrained blob is
 Dropbox-only (README.md:45-51), so this module trains an equivalent LM from
 scratch on the shipped corpora:
 
-  * input embedding — the deterministic hash-vector table
-    (``neural.hash_word_vectors``), the repo's vocab-free stand-in for the
-    reference's trainable ``nn.Embedding`` (same stand-in the tagger uses, so
-    the trained cell drops straight into ``MimoTagger.lm_cell``);
+  * input embedding — ``neural.word_vectors``: the corpus-trained skip-gram
+    table (``word2vec.train_skipgram``) with deterministic hash fallback for
+    OOV, the same input path the tagger uses, so the trained cell drops
+    straight into ``MimoTagger.lm_cell`` (when no table is given, the
+    vocab-free hash stand-in — the fixture configs);
   * one LSTM cell (WORD_DIM -> LM_DIM=200) — model.py nhid=200 per
     Stmt_Extraction_Net.py:44-45;
   * linear decoder (LM_DIM -> vocab) for next-word NLL — discarded at
@@ -34,7 +35,8 @@ import math
 import numpy as np
 
 from scikg_spark.core.neural import (
-    LM_DIM, WORD_DIM, _LSTMCell, _log_softmax, hash_word_vectors)
+    LM_DIM, WORD_DIM, _LSTMCell, _log_softmax, _table_from_data,
+    _table_to_arrays, word_vectors)
 from scikg_spark.core.train_bptt import _lstm_bwd, _lstm_fwd
 
 UNK = "<unk>"
@@ -61,6 +63,10 @@ class LanguageModel:
         self.dec_w = (rng.standard_normal((hidden, V)) * 0.08).astype(np.float32)
         self.dec_b = np.zeros(V, dtype=np.float32)
         self.in_dim, self.hidden = in_dim, hidden
+        # frozen input word table (matrix, word2id) or None = hash stand-in;
+        # MUST match the table of any tagger this LM cell is installed into
+        # (the featurizer runs over the tagger's own word vectors)
+        self.word_table = None
 
     def ids(self, words) -> np.ndarray:
         unk = self.vocab[UNK]
@@ -72,10 +78,13 @@ class LanguageModel:
         # then load with allow_pickle=False, so a tampered/substituted .npz
         # can't smuggle a pickle payload into load().
         words = sorted(self.vocab, key=self.vocab.get)
-        np.savez_compressed(
-            path, **{"lm_cell.w": self.cell.w, "lm_cell.b": self.cell.b,
-                     "dec_w": self.dec_w, "dec_b": self.dec_b,
-                     "vocab": np.array(words, dtype=np.str_)})
+        blob = {"lm_cell.w": self.cell.w, "lm_cell.b": self.cell.b,
+                "dec_w": self.dec_w, "dec_b": self.dec_b,
+                "vocab": np.array(words, dtype=np.str_)}
+        if self.word_table is not None:
+            blob["wv.matrix"], blob["wv.vocab"] = \
+                _table_to_arrays(self.word_table)
+        np.savez_compressed(path, **blob)
 
     @classmethod
     def load(cls, path: str) -> "LanguageModel":
@@ -88,6 +97,7 @@ class LanguageModel:
         lm.cell.b = data["lm_cell.b"].astype(np.float32)
         lm.dec_w = data["dec_w"].astype(np.float32)
         lm.dec_b = data["dec_b"].astype(np.float32)
+        lm.word_table = _table_from_data(data)
         return lm
 
 
@@ -101,6 +111,17 @@ def load_lm_into(model, path: str):
         raise ValueError(
             f"LM checkpoint cell shape {data['lm_cell.w'].shape} does not "
             f"match the model's {model.lm_cell.w.shape}")
+    table = _table_from_data(data)
+    if table is not None:
+        # the cell was trained over THIS table's vectors; a tagger feeding
+        # it different word vectors would produce garbage LM features
+        if model.word_table is None:
+            model.word_table = table
+        elif (model.word_table[0].shape != table[0].shape
+              or model.word_table[0].tobytes() != table[0].tobytes()):
+            raise ValueError(
+                "LM checkpoint was trained over a different word table than "
+                "the model's — set model.word_table to the LM's table")
     model.lm_cell.w = data["lm_cell.w"].astype(np.float32)
     model.lm_cell.b = data["lm_cell.b"].astype(np.float32)
     return model
@@ -141,7 +162,8 @@ class LMTrainer:
         x = np.zeros((B, T, lm.in_dim), dtype=dtype)
         y = np.zeros((B, T), dtype=np.int64)
         for bi, s in enumerate(sentences):
-            x[bi, :len(s)] = hash_word_vectors(s, dim=lm.in_dim).astype(dtype)
+            x[bi, :len(s)] = word_vectors(
+                s, dim=lm.in_dim, table=lm.word_table).astype(dtype)
             y[bi, :len(s)] = lm.ids(s)
 
         # predictive positions: t valid iff t+1 < len (targets exist)

@@ -81,6 +81,32 @@ def hash_word_vectors(words, dim=WORD_DIM):
     return out
 
 
+def word_vectors(words, dim=WORD_DIM, table=None):
+    """Input word vectors: TRAINED-table lookup with deterministic hash
+    fallback for out-of-vocabulary words.
+
+    ``table`` is ``(matrix float32 [n, dim], word2id)`` as produced by
+    ``word2vec.read_word2vec_bin`` (rows 0/1 are <pad>/<unk>). The reference
+    loads a frozen pretrained word2vec matrix and random-initializes words
+    missing from it (load_pretrained_word_embeddings.py:47-63); the hash
+    fallback is that random-init, made deterministic. ``table=None`` is the
+    vocab-free all-hash stand-in (fixture configs)."""
+    if table is None:
+        return hash_word_vectors(words, dim)
+    matrix, word2id = table
+    out = np.empty((len(words), dim), dtype=np.float32)
+    miss = []
+    for i, w in enumerate(words):
+        wid = word2id.get(w.lower(), 1)
+        if wid > 1:  # 0/1 are the reader's <pad>/<unk> rows
+            out[i] = matrix[wid]
+        else:
+            miss.append(i)
+    if miss:
+        out[miss] = hash_word_vectors([words[i] for i in miss], dim)
+    return out
+
+
 class _LSTMCell:
     """Plain LSTM cell parameters; step() is batched (B, dim)."""
 
@@ -125,8 +151,12 @@ class MimoTagger:
         self.dec = _LSTMCell(rng, 2 * HIDDEN + 2 * N_TAGS, HIDDEN)
         self.head_fact = _rng_mat(rng, HIDDEN, N_TAGS)
         self.head_cond = _rng_mat(rng, HIDDEN + (N_TAGS if enhance else 0), N_TAGS)
-        # LM: single-layer LSTM over hashed inputs (M1), config-gated
+        # LM: single-layer LSTM over the word-vector inputs (M1), config-gated
         self.lm_cell = _LSTMCell(rng, WORD_DIM, LM_DIM) if use_lm else None
+        # frozen pretrained word table (matrix, word2id) or None = hash
+        # stand-in; not a BPTT parameter (the reference freezes word2vec),
+        # persisted alongside checkpoints so loaded models are self-contained
+        self.word_table = None
 
     # -- featurization ------------------------------------------------------
     def _inputs(self, batch_words, batch_pos, batch_cap, T):
@@ -136,7 +166,7 @@ class MimoTagger:
         cap2id = {t: i for i, t in enumerate(CAP_TAGS)}
         for bi, (words, pos, cap) in enumerate(zip(batch_words, batch_pos, batch_cap)):
             n = len(words)
-            wv = hash_word_vectors(words)
+            wv = word_vectors(words, table=self.word_table)
             feat = wv
             if self.use_pos:
                 pe = self.pos_emb[[pos2id.get(p, len(POS_TAGS)) for p in pos]]
@@ -323,6 +353,11 @@ class MimoEnsemble:
         for i, m in enumerate(self.models):
             for k, v in _collect_params(m).items():
                 blob[f"m{i}.{k}"] = v
+        for m in self.models:  # the singles share one frozen word table
+            if m.word_table is not None:
+                blob["wv.matrix"], blob["wv.vocab"] = \
+                    _table_to_arrays(m.word_table)
+                break
         np.savez_compressed(path, **blob)
 
 
@@ -448,10 +483,33 @@ def _collect_params(model: MimoTagger) -> dict:
     return p
 
 
+def _table_to_arrays(table):
+    """(matrix, word2id) -> npz-storable pair (float32 matrix, unicode vocab
+    array aligned to matrix rows, <pad>/<unk> included)."""
+    matrix, word2id = table
+    tokens = [""] * len(matrix)
+    for w, i in word2id.items():
+        tokens[i] = w
+    return matrix.astype(np.float32), np.array(tokens, dtype=np.str_)
+
+
+def _table_from_data(data):
+    if "wv.matrix" not in data:
+        return None
+    tokens = [str(w) for w in data["wv.vocab"].tolist()]
+    return (data["wv.matrix"].astype(np.float32),
+            {w: i for i, w in enumerate(tokens)})
+
+
 def save_weights(model: MimoTagger, path: str) -> None:
     """Persist the full parameter dict (the broadcastable checkpoint — the
-    rebuild's analog of the reference's .torch state dicts, utils.py:2696)."""
-    np.savez_compressed(path, **_collect_params(model))
+    rebuild's analog of the reference's .torch state dicts, utils.py:2696).
+    A frozen word table rides along ("wv.matrix"/"wv.vocab") so executor-side
+    loads are self-contained — no separate .bin to ship."""
+    blob = _collect_params(model)
+    if model.word_table is not None:
+        blob["wv.matrix"], blob["wv.vocab"] = _table_to_arrays(model.word_table)
+    np.savez_compressed(path, **blob)
 
 
 def _assign_params(model: MimoTagger, data) -> MimoTagger:
@@ -492,6 +550,7 @@ def tagger_from_weights(path_or_data) -> MimoTagger:
     data = np.load(path_or_data) if isinstance(path_or_data, str) else path_or_data
     lm, pos, cap, enhance = (bool(int(b)) for b in data["flags"].tolist())
     model = MimoTagger(use_lm=lm, use_pos=pos, use_cap=cap, enhance=enhance)
+    model.word_table = _table_from_data(data)
     return _assign_params(model, data)
 
 
@@ -501,11 +560,14 @@ def ensemble_from_weights(path: str) -> "MimoEnsemble":
     weights load alongside."""
     data = np.load(path)
     n = int(data["ens.n_models"][0])
+    table = _table_from_data(data)  # one shared frozen table, stored once
     models = []
     for i in range(n):
         sub = {k[len(f"m{i}."):]: data[k] for k in data.files
                if k.startswith(f"m{i}.")}
-        models.append(tagger_from_weights(sub))
+        m = tagger_from_weights(sub)
+        m.word_table = table
+        models.append(m)
     ens = MimoEnsemble(models=models)
     ens.w_fact = data["ens.w_fact"].astype(np.float32)
     ens.b_fact = data["ens.b_fact"].astype(np.float32)
@@ -521,6 +583,7 @@ def load_weights(model: MimoTagger, path: str) -> MimoTagger:
     know the training config should use :func:`tagger_from_weights`."""
     data = np.load(path)
     _check_flags(model, data)
+    model.word_table = _table_from_data(data)
     return _assign_params(model, data)
 
 

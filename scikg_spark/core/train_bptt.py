@@ -37,7 +37,7 @@ import math
 import numpy as np
 
 from scikg_spark.core.neural import (
-    CAP_TAGS, POS_TAGS, _log_softmax, _sigmoid, hash_word_vectors)
+    CAP_TAGS, POS_TAGS, _log_softmax, _sigmoid, word_vectors)
 
 
 def _lstm_fwd(cell, x, h, c):
@@ -139,7 +139,7 @@ class BPTTTrainer:
         in_caches = []
         for bi in range(B):
             n = lens[bi]
-            wv = hash_word_vectors(words[bi], dim=D).astype(dtype)
+            wv = word_vectors(words[bi], dim=D, table=m.word_table).astype(dtype)
             feat = wv.copy()
             cch: dict = {}
             if m.use_pos:

@@ -115,6 +115,10 @@ def train_single(config: dict, data, args, w_fact, w_cond, log_prefix=""):
 
     (tw, tp, tc, tf, tcond), (hw, hp, hc, hf, hcond) = data
     model = MimoTagger(seed=args.seed, **config)
+    # frozen pretrained table (if given) installs BEFORE load_lm_into so the
+    # LM checkpoint's table-consistency check sees it
+    if getattr(args, "word_table", None) is not None:
+        model.word_table = args.word_table
     if config.get("use_lm"):
         # trained LM featurizer (jobs/train_lm.py); the cell stays frozen
         # under BPTT — only the w_lm/g_lm gates learn (the reference's
@@ -157,6 +161,11 @@ def main(argv=None):
     parser.add_argument("--lm-weights",
                         help="trained LM checkpoint (jobs/train_lm.py); "
                              "enables the lm single-model config")
+    parser.add_argument("--word-vectors",
+                        help="trained word2vec C-binary (jobs/train_w2v.py): "
+                             "every single trains over this frozen table "
+                             "instead of the hash stand-in; it rides the "
+                             "saved checkpoints")
     parser.add_argument("--epochs", type=int, default=40)
     parser.add_argument("--combiner-epochs", type=int, default=10)
     parser.add_argument("--lr", type=float, default=0.05)
@@ -188,6 +197,12 @@ def main(argv=None):
 
     from scikg_spark.core.neural import HeadTrainer, save_weights
     from collections import Counter
+
+    args.word_table = None
+    if args.word_vectors:
+        from scikg_spark.core.word2vec import read_word2vec_bin
+
+        args.word_table = read_word2vec_bin(args.word_vectors)
 
     words, pos, cap, yf, yc = load_labeled(args.documents, args.cores)
     # Prior-tag consumption (the reference's load_prior_tag flow: OUT rows
@@ -224,6 +239,7 @@ def main(argv=None):
     report: dict = {"statements": len(words), "train": len(words[train]),
                     "holdout": n_hold, "epochs": args.epochs, "lr": args.lr,
                     "batch": args.batch, "lm_weights": args.lm_weights,
+                    "word_vectors": args.word_vectors,
                     "models": {}}
     t0 = time.time()
 

@@ -53,6 +53,11 @@ def main(argv=None):
     parser.add_argument("--batch", type=int, default=64)
     parser.add_argument("--holdout", type=float, default=0.1)
     parser.add_argument("--vocab-size", type=int, default=20_000)
+    parser.add_argument("--word-vectors",
+                        help="trained word2vec C-binary (jobs/train_w2v.py): "
+                             "the LM's frozen input table — rides the "
+                             "checkpoint so consumers featurize over the "
+                             "same vectors")
     parser.add_argument("--seed", type=int, default=824)
     parser.add_argument("--cores", type=int, default=8)
     parser.add_argument("--verbose", action="store_true")
@@ -70,6 +75,10 @@ def main(argv=None):
 
     lm = LanguageModel(build_vocab(train, max_size=args.vocab_size),
                        seed=args.seed)
+    if args.word_vectors:
+        from scikg_spark.core.word2vec import read_word2vec_bin
+
+        lm.word_table = read_word2vec_bin(args.word_vectors)
     trainer = LMTrainer(lm, lr=args.lr)
     ppl_before = round(trainer.perplexity(hold), 2)
 
@@ -94,6 +103,7 @@ def main(argv=None):
         "holdout_ppl_untrained": ppl_before,
         "holdout_ppl": round(trainer.perplexity(hold), 2),
         "train_sec": round(time.time() - t0, 1),
+        "word_vectors": args.word_vectors,
         "weights": args.out}))
 
 

@@ -61,9 +61,9 @@ def _src_stamp(sf_dir: str) -> tuple:
     return tuple(stats)
 
 
-def _key(spark, sf_dir):
+def _key(spark, sf_dir, variant: str = "plain"):
     return (spark.sparkContext.applicationId, os.path.abspath(sf_dir),
-            _src_stamp(sf_dir))
+            _src_stamp(sf_dir), variant)
 
 
 def clear_caches(spark=None, which: str = "all") -> None:
@@ -91,7 +91,8 @@ def _evict_stale(spark, cache: dict, key: tuple, sf_dir: str) -> None:
     stamp. Unpersisting alone is not enough: Spark's CacheManager matches a
     re-read of the same path to the old cached plan by canonicalized-plan
     equality, so the path's cached data + file listing must be refreshed."""
-    stale = [k for k in cache if k[:2] == key[:2] and k != key]
+    stale = [k for k in cache
+             if k[:2] == key[:2] and k[3:] == key[3:] and k != key]
     for k in stale:
         val = cache.pop(k)
         for frame in (val if isinstance(val, tuple) else (val,)):
@@ -121,21 +122,43 @@ def _tuples(spark, sf_dir):
     return t
 
 
-def _linked(spark, sf_dir):
+_SYNONYMS_PATH = os.path.join(
+    _REPO_ROOT, "scikg_spark", "data", "synonyms-label.txt")
+
+
+def load_synonyms(spark, path: str = _SYNONYMS_PATH):
+    """Synonym pairs from a reference-DSL label file (the ``n: [C1, as, C2]``
+    canonicalization tuples, utils.py:638-644, read through the S3 label
+    parser) -> DataFrame (phrase_a, phrase_b). ``#off`` suffixes, if present,
+    are stripped — synonym edges join by surface form, not position."""
+    from scikg_spark.core.labels import parse_label_file
+
+    with open(path) as fh:
+        nid2tuple, _, _, _, _ = parse_label_file(fh)
+    rows = [(t[0][1].split("#")[0], t[2][1].split("#")[0])
+            for t in nid2tuple.values()]
+    return spark.createDataFrame(rows, "phrase_a string, phrase_b string")
+
+
+def _linked(spark, sf_dir, synonyms_path: str | None = None):
     """Entity linking shared between kg_entity_nodes and kg_entity_edges —
     one LSH + connected-components pass, checkpointed, both queries read it
     (the runner materializes the same pair of tables as stage-3 snapshots).
+    ``synonyms_path`` selects the synonym-merged variant (cached separately).
     Returns (nodes, phrase_map, phrase_map_rows): the row count rides the
     cache entry so repeat attach_entities calls never re-pay a driver
     count() round-trip."""
     from scikg_spark.pipeline.stage3 import link_entities
 
-    key = _key(spark, sf_dir)
+    key = _key(spark, sf_dir,
+               "plain" if synonyms_path is None else f"syn:{synonyms_path}")
     cached = _LINK_CACHE.get(key)
     if cached is not None:
         return cached
     _evict_stale(spark, _LINK_CACHE, key, sf_dir)
-    nodes, phrase_map = link_entities(_tuples(spark, sf_dir))
+    syn = (load_synonyms(spark, synonyms_path)
+           if synonyms_path is not None else None)
+    nodes, phrase_map = link_entities(_tuples(spark, sf_dir), synonyms=syn)
     phrase_map = phrase_map.localCheckpoint()
     entry = (nodes.localCheckpoint(), phrase_map, phrase_map.count())
     _LINK_CACHE[key] = entry
@@ -201,9 +224,10 @@ def kg_entity_edges(spark, sf_dir):
 # Materialized graph tables + SQL-expressible downstream aggregations
 # ---------------------------------------------------------------------------
 
-# default shared between the Spark function signature and the DuckDB mirror
-# (oracle parity holds exactly for the default arguments)
+# defaults shared between the Spark function signatures and the DuckDB
+# mirrors (oracle parity holds exactly for the default arguments)
 _COOC_MIN_SUPPORT = 2
+_SYN_MIN_PHRASES = 2
 
 def _mat_dir(sf_dir: str) -> str:
     """Canonical corpora (children of /root/testdata) materialize into the
@@ -221,7 +245,9 @@ def _mat_dir(sf_dir: str) -> str:
 
 
 def _fingerprint(sf_dir: str) -> str:
-    return hashlib.md5(repr(_src_stamp(sf_dir)).encode()).hexdigest()
+    # "v2": snapshot format version — bumping it re-materializes dirs written
+    # by older code (v2 added the nodes_syn table)
+    return hashlib.md5(("v2" + repr(_src_stamp(sf_dir))).encode()).hexdigest()
 
 
 def materialize_kg_tables(spark, sf_dir: str) -> str:
@@ -233,7 +259,14 @@ def materialize_kg_tables(spark, sf_dir: str) -> str:
     plus a ``FINGERPRINT`` of the source corpus stamp. Downstream graph
     aggregations (and their DuckDB oracle mirrors) scan these files — the
     extraction itself stays pinned by the pytest P/R gate. Idempotent: a
-    fresh fingerprint skips the rewrite."""
+    fresh fingerprint skips the rewrite.
+
+    The ``coalesce(1)`` single-file layout exists ONLY for these sf-scale
+    duel mirrors (DuckDB reads one file per table). It is NOT the
+    stage-boundary snapshot shape for a real deployment — a 100-TB tuples
+    table through one task is a non-starter; production materialization is
+    :func:`materialize_kg_production` (partitioned SnapshotCatalog writes
+    with lineage, pruning, time travel)."""
     out = _mat_dir(sf_dir)
     fp_path = os.path.join(out, "FINGERPRINT")
     fp = _fingerprint(sf_dir)
@@ -245,8 +278,36 @@ def materialize_kg_tables(spark, sf_dir: str) -> str:
         .parquet(os.path.join(out, "tuples"))
     kg_entity_edges(spark, sf_dir).coalesce(1).write.mode("overwrite") \
         .parquet(os.path.join(out, "edges"))
+    nodes_syn, _, _ = _linked(spark, sf_dir, synonyms_path=_SYNONYMS_PATH)
+    nodes_syn.coalesce(1).write.mode("overwrite") \
+        .parquet(os.path.join(out, "nodes_syn"))
     with open(fp_path, "w") as fh:
         fh.write(fp + "\n")
+    return out
+
+
+def materialize_kg_production(spark, sf_dir: str, warehouse: str,
+                              doc_buckets: int = 32) -> dict:
+    """Production-shaped stage-boundary snapshots: tuples + edges written
+    through :class:`SnapshotCatalog` (atomic commit, per-partition lineage,
+    time travel, expiry) partitioned by ``(kind, doc_bucket)`` — ``kind``
+    (f/c) for consumer-side partition pruning, and a ``doc_id`` hash band so
+    files stay bounded and writes parallelize at 10^12 docs (raise
+    ``doc_buckets`` with the corpus; 32 is sf-scale). This is the snapshot
+    shape the module docstring's "stage-boundary snapshots in the catalog"
+    story refers to; the coalesce(1) path above serves only the DuckDB duel.
+    Returns {table: manifest}. A plan test pins that a kind/bucket filter on
+    the read-back reaches the scan as PartitionFilters."""
+    from scikg_spark.pipeline.stage4 import SnapshotCatalog
+
+    cat = SnapshotCatalog(spark, warehouse)
+    out = {}
+    for table, df in (("kg_tuples", kg_triples(spark, sf_dir)),
+                      ("kg_edges", kg_entity_edges(spark, sf_dir))):
+        banded = df.withColumn(
+            "doc_bucket", F.pmod(F.xxhash64("doc_id"), F.lit(doc_buckets)))
+        out[table] = cat.write(banded, table,
+                               partition_by=("kind", "doc_bucket"))
     return out
 
 
@@ -326,7 +387,15 @@ def kg_oracle(sf_dir: str | None = None) -> dict[str, str]:
     mat = _mat_dir(sf_dir)
     _T = os.path.join(mat, "tuples", "*.parquet")
     _E = os.path.join(mat, "edges", "*.parquet")
+    _N = os.path.join(mat, "nodes_syn", "*.parquet")
     return {
+        "kg_synonym_clusters": f"""
+        SELECT canonical, CAST(n_phrases AS BIGINT) AS n_phrases
+        FROM read_parquet('{_N}')
+        WHERE n_phrases >= {_SYN_MIN_PHRASES}
+        ORDER BY n_phrases DESC, canonical
+        LIMIT 50
+    """,
         "kg_top_facts": f"""
         WITH t AS (SELECT * FROM read_parquet('{_T}')),
         conds AS (
@@ -410,6 +479,24 @@ def kg_oracle(sf_dir: str | None = None) -> dict[str, str]:
 
 
 ORACLE = kg_oracle()
+
+
+def kg_synonym_clusters(spark, sf_dir, min_phrases: int = _SYN_MIN_PHRASES):
+    """Synonym-merged entity clusters: canonical entities that absorbed more
+    than one surface form after the curated n-tuple synonym edges
+    (data/synonyms-label.txt, reference utils.py:638-644) joined the LSH +
+    exact edges in stage-3 linking. The one reference-semantic linking signal
+    (label-file synonyms) exercised end to end and duelled: SQL over the
+    materialized nodes_syn snapshot, DuckDB mirror on the same files. A
+    fixture test pins that withholding the synonyms provably changes the
+    clustering (tests/test_kg_materialized.py)."""
+    nodes = _materialized(spark, sf_dir, "nodes_syn")
+    return (
+        nodes.filter(F.col("n_phrases") >= min_phrases)
+        .select("canonical", F.col("n_phrases").cast("long").alias("n_phrases"))
+        .orderBy(F.desc("n_phrases"), "canonical")
+        .limit(50)
+    )
 
 
 def kg_degree_stats(spark, sf_dir, top_k: int = 20):

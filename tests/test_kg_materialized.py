@@ -84,3 +84,105 @@ def test_committed_snapshots_fresh_for_all_sfs(spark):
             assert fh.read().strip() == kg._fingerprint(sf_dir), sf
         assert spark.read.parquet(os.path.join(out, "tuples")).count() > 0
         assert spark.read.parquet(os.path.join(out, "edges")).count() > 0
+
+
+def test_src_stamp_detects_same_size_subsecond_rewrite(corpus_dir):
+    """ns-resolution mtime stamp: a byte-identical in-place rewrite within
+    the same wall-clock second must still change the stamp (integer-second
+    stamps served such rewrites stale — round-3 ADVICE item)."""
+    from scikg_spark.ops.kg import _src_stamp
+
+    s1 = _src_stamp(corpus_dir)
+    path = os.path.join(corpus_dir, "documents.parquet")
+    with open(path, "rb") as fh:
+        data = fh.read()
+    os.remove(path)
+    with open(path, "wb") as fh:
+        fh.write(data)  # same bytes, same size, (almost surely) same second
+    assert _src_stamp(corpus_dir) != s1
+
+
+def test_mat_dir_routes_noncanonical_corpora_to_tmp(tmp_path):
+    """Non-testdata corpora must NOT materialize into the committed
+    checkpoints tree, and two distinct dirs sharing a basename must get
+    distinct slots."""
+    import tempfile
+
+    from scikg_spark.ops.kg import _MAT_ROOT, _mat_dir
+
+    a = str(tmp_path / "x" / "sf0.01")
+    b = str(tmp_path / "y" / "sf0.01")
+    assert _mat_dir(a) != _mat_dir(b)
+    for d in (a, b):
+        assert not _mat_dir(d).startswith(_MAT_ROOT)
+        assert _mat_dir(d).startswith(tempfile.gettempdir())
+    # canonical corpora keep their committed slots
+    assert _mat_dir("/root/testdata/sf0.01") == os.path.join(_MAT_ROOT, "sf0.01")
+
+
+def test_synonym_edges_change_linking(spark):
+    """Withholding the curated n-tuple synonyms provably changes the
+    clustering: with synonyms, 'sort' and 'order' share an entity id; the
+    plain linking keeps them apart (they share no shingles)."""
+    from scikg_spark.ops import kg
+
+    sf_dir = "/root/testdata/sf0.001"
+    _, pm_plain, _ = kg._linked(spark, sf_dir)
+    _, pm_syn, _ = kg._linked(spark, sf_dir, synonyms_path=kg._SYNONYMS_PATH)
+
+    def eid(pm, word):
+        rows = pm.filter(f"lower(phrase) = '{word}'") \
+            .select("entity_id").distinct().collect()
+        assert rows, f"phrase {word!r} not in the corpus mention table"
+        return {r["entity_id"] for r in rows}
+
+    assert eid(pm_syn, "sort") == eid(pm_syn, "order")
+    assert eid(pm_plain, "sort") != eid(pm_plain, "order")
+    # merged clustering has strictly fewer entities
+    n_plain = kg._linked(spark, sf_dir)[0].count()
+    n_syn = kg._linked(spark, sf_dir, synonyms_path=kg._SYNONYMS_PATH)[0].count()
+    assert n_syn < n_plain
+
+
+def test_load_synonyms_parses_reference_dsl(spark):
+    from scikg_spark.ops.kg import load_synonyms
+
+    rows = {tuple(r) for r in load_synonyms(spark).collect()}
+    assert ("sort", "order") in rows
+    assert len(rows) >= 3
+
+
+def test_kg_synonym_clusters_reflects_merges(spark):
+    from scikg_spark.ops import kg
+
+    df = kg.kg_synonym_clusters(spark, "/root/testdata/sf0.001").toPandas()
+    assert list(df.columns) == ["canonical", "n_phrases"]
+    assert (df["n_phrases"] >= 2).all()
+    # the curated merges surface as multi-phrase clusters
+    assert {"order", "line"} & set(df["canonical"])
+
+
+def test_production_materialization_partition_pruning(spark, tmp_path):
+    """materialize_kg_production writes partitioned SnapshotCatalog
+    snapshots; a kind/bucket predicate on the consumer reaches the scan as
+    PartitionFilters (no full-table read at 10^12 docs)."""
+    from scikg_spark.ops import kg
+    from scikg_spark.pipeline.stage4 import SnapshotCatalog
+
+    wh = str(tmp_path / "wh")
+    manifests = kg.materialize_kg_production(
+        spark, "/root/testdata/sf0.001", wh, doc_buckets=4)
+    assert set(manifests) == {"kg_tuples", "kg_edges"}
+    assert manifests["kg_tuples"]["partition_by"] == ["kind", "doc_bucket"]
+    assert manifests["kg_tuples"]["lineage"]  # per-partition lineage present
+
+    cat = SnapshotCatalog(spark, wh)
+    facts = cat.read("kg_tuples").filter("kind = 'f' AND doc_bucket = 2")
+    plan = facts._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "kind" in plan.split("PartitionFilters")[1][:200]
+    # values survive the partitioned round-trip
+    expect = (kg.kg_triples(spark, "/root/testdata/sf0.001")
+              .filter("kind = 'f'").count())
+    got = cat.read("kg_tuples").filter("kind = 'f'").count()
+    assert got == expect
