@@ -88,6 +88,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_simhash_buckets": dedup.q_simhash_buckets,
         "q_dedup_keep_policy": dedup.q_dedup_keep_policy,
         "q_contamination": dedup.q_contamination,
+        "q_contamination_eval": dedup.q_contamination_eval,
         # dataset management: deterministic splits & stratified sampling
         "q_train_split": sampling.q_train_split,
         "q_split_stats": sampling.q_split_stats,

@@ -19,6 +19,7 @@ check the capped semantics."""
 from __future__ import annotations
 
 import hashlib
+import os
 
 from pyspark.sql import functions as F
 
@@ -438,3 +439,113 @@ ORACLE["q_contamination"] = f"""
     WHERE NOT c.is_bench AND b.is_bench
     GROUP BY c.doc_id
 """
+
+
+# -- contamination against the REAL held-out eval corpus ----------------------
+
+_REPO_ROOT = os.path.dirname(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_EVAL_TSV = "/root/reference/data/stmts-eval.tsv"
+_EVAL_GRAMS_DIR = os.path.join(_REPO_ROOT, "checkpoints", "eval_grams")
+
+
+def eval_gram_table(tsv_path: str = _EVAL_TSV,
+                    out_dir: str = _EVAL_GRAMS_DIR) -> str:
+    """Materialize the held-out benchmark's word-8-gram table from the
+    reference's annotated eval TSV (statement token streams, S2 parser) as a
+    small parquet of (stmt_id, gram_h) — ``gram_h`` hashed exactly like the
+    corpus grams (md5 15-hex-digit prefix as bigint), so it equi-joins
+    against the corpus gram table on either engine. Fingerprinted by the
+    TSV stamp; DuckDB mirrors read the same file. At production scale this
+    table is tiny (benchmarks are KBs-MBs) and broadcasts."""
+    import pandas as pd
+
+    st = os.stat(tsv_path)
+    fp = f"v1:{tsv_path}:{st.st_size}:{st.st_mtime_ns}"
+    fp_path = os.path.join(out_dir, "FINGERPRINT")
+    pq_path = os.path.join(out_dir, "grams.parquet")
+    if os.path.isfile(fp_path) and os.path.isfile(pq_path):
+        with open(fp_path) as fh:
+            if fh.read().strip() == fp:
+                return pq_path
+    from scikg_spark.core.parsing import parse_stmt_blocks
+
+    rows = []
+    with open(tsv_path) as fh:
+        for sid, block in enumerate(parse_stmt_blocks(fh)):
+            words = list(block["words"])
+            for i in range(len(words) - CONTAM_K + 1):
+                gram = " ".join(words[i:i + CONTAM_K])
+                h = int(hashlib.md5(gram.encode()).hexdigest()[:15], 16)
+                rows.append((sid, h))
+    os.makedirs(out_dir, exist_ok=True)
+    pd.DataFrame(rows, columns=["stmt_id", "gram_h"]) \
+        .drop_duplicates().to_parquet(pq_path, index=False)
+    with open(fp_path, "w") as fh:
+        fh.write(fp + "\n")
+    return pq_path
+
+
+def q_contamination_eval(spark, sf_dir):
+    """Contamination against the ACTUAL held-out benchmark: corpus documents
+    sharing a word-8-gram with the reference's eval corpus
+    (data/stmts-eval.tsv) — the real-world version of
+    :func:`q_contamination` (whose benchmark band is a same-corpus
+    carve-out proving the join shape).
+
+    Scale shape: the corpus side is the same capped hashed-gram pipeline;
+    the benchmark gram table is broadcast (benchmarks are tiny next to a
+    100-TB corpus) so the big side never shuffles. Empty output means the
+    training corpus is clean — the expected state."""
+    from pyspark.sql.window import Window
+
+    docs = _docs(spark, sf_dir).filter(
+        F.size(F.split("text", " ")) >= CONTAM_K)
+    grams = docs.select("doc_id", F.explode(F.expr(
+        f"array_distinct(transform(array_distinct({_shingle_sql(CONTAM_K)}), "
+        "g -> cast(conv(substring(md5(g), 1, 15), 16, 10) as bigint)))"
+    )).alias("gram_h"))
+    capped = (
+        grams.withColumn(
+            "_n", F.count("*").over(Window.partitionBy("gram_h")))
+        .filter(F.col("_n") <= _MAX_BUCKET)
+        .drop("_n")
+    )
+    bench = spark.read.parquet(eval_gram_table()).select(
+        F.col("stmt_id").alias("bench_stmt"), "gram_h")
+    return (
+        capped.join(F.broadcast(bench), "gram_h")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("gram_h").alias("n_shared_grams"),
+             F.countDistinct("bench_stmt").alias("n_bench_stmts"))
+    )
+
+
+def _contamination_eval_oracle() -> str:
+    # rendered at call time so the fingerprint-checked parquet exists and the
+    # path tracks eval_gram_table()'s output
+    pq = eval_gram_table()
+    return f"""
+    WITH grams AS (
+        SELECT DISTINCT doc_id,
+               ('0x' || substring(md5(gram), 1, 15))::BIGINT AS gram_h
+        FROM (SELECT doc_id, unnest({_sql_shingles(CONTAM_K)}) AS gram
+              FROM documents
+              WHERE len(string_split(text, ' ')) >= {CONTAM_K}) g
+    ),
+    capped AS (
+        SELECT gr.* FROM grams gr
+        JOIN (SELECT gram_h FROM grams GROUP BY gram_h
+              HAVING count(*) <= {_MAX_BUCKET}) cap
+          ON gr.gram_h = cap.gram_h
+    )
+    SELECT c.doc_id,
+           count(DISTINCT c.gram_h) AS n_shared_grams,
+           count(DISTINCT b.stmt_id) AS n_bench_stmts
+    FROM capped c
+    JOIN read_parquet('{pq}') b ON c.gram_h = b.gram_h
+    GROUP BY c.doc_id
+"""
+
+
+ORACLE["q_contamination_eval"] = _contamination_eval_oracle()

@@ -162,3 +162,38 @@ def test_new_ops_handle_empty_corpus(spark, tmp_path):
         df = fn(spark, out)
         assert df.count() == 0, fn.__name__
         assert len(df.columns) >= 2, fn.__name__
+
+
+def test_contamination_eval_planted(spark, tmp_path):
+    """Plant an 8-gram from the REAL eval corpus (stmts-eval.tsv) in one
+    corpus doc; q_contamination_eval must flag exactly that doc."""
+    from scikg_spark.core.parsing import parse_stmt_blocks
+    from scikg_spark.ops.dedup import _EVAL_TSV, q_contamination_eval
+
+    with open(_EVAL_TSV) as fh:
+        for block in parse_stmt_blocks(fh):
+            if len(block["words"]) >= 8:
+                planted = " ".join(list(block["words"])[:8])
+                break
+    texts = {
+        0: "lead in " + planted + " trailing words here",   # contaminated
+        1: " ".join(f"z{i}" for i in range(12)),             # clean
+    }
+    out = str(tmp_path / "sfe")
+    spark.createDataFrame(
+        [(i, t, "en", "src0", len(t)) for i, t in texts.items()],
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{out}/documents.parquet")
+
+    got = {r["doc_id"]: r for r in q_contamination_eval(spark, out).collect()}
+    assert set(got) == {0}
+    assert got[0]["n_shared_grams"] >= 1
+    assert got[0]["n_bench_stmts"] >= 1
+
+
+def test_contamination_eval_clean_corpus_is_empty(spark):
+    """The synthetic training corpus shares no 8-gram with the biomedical
+    eval corpus — the scan's expected production state is 0 rows."""
+    from scikg_spark.ops.dedup import q_contamination_eval
+
+    assert q_contamination_eval(spark, "/root/testdata/sf0.001").count() == 0
