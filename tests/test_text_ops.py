@@ -197,3 +197,25 @@ def test_contamination_eval_clean_corpus_is_empty(spark):
     from scikg_spark.ops.dedup import q_contamination_eval
 
     assert q_contamination_eval(spark, "/root/testdata/sf0.001").count() == 0
+
+
+def test_lm_perplexity_separates_gibberish(spark, tmp_path):
+    """CCNet-style sanity: text resembling the LM's training distribution
+    scores lower perplexity than OOV gibberish; sub-2-token docs get NULL."""
+    texts = {
+        0: "the spark job will sort the big table and merge the fast stream",
+        1: "zqx vvq plk mmw qqa zzb ffy ggt hhu jjr kkw lle",
+        2: "spark",
+    }
+    out = str(tmp_path / "sfppl")
+    spark.createDataFrame(
+        [(i, t, "en", "src0", len(t)) for i, t in texts.items()],
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{out}/documents.parquet")
+
+    from scikg_spark.ops.text import q_lm_perplexity
+
+    got = {r["doc_id"]: r for r in q_lm_perplexity(spark, out).collect()}
+    assert got[0]["ppl"] < got[1]["ppl"]
+    assert got[2]["ppl"] is None and got[2]["avg_nll"] is None
+    assert got[0]["n_tokens"] == 13

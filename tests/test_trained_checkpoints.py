@@ -99,3 +99,34 @@ def test_ensemble_contains_trained_lm_bit_model():
     configs = sorted((m.use_lm, m.use_pos, m.use_cap) for m in ens.models)
     assert configs == [(False, False, True), (False, True, False),
                        (True, False, False)]
+
+
+def test_checkpoints_carry_trained_word_table():
+    """Round-4: the trained configs consume CORPUS-TRAINED word vectors
+    (skip-gram, jobs/train_w2v.py), not the hash stand-in — the table rides
+    the checkpoints, round-trips through the S5 C-binary file, and is
+    byte-identical across the single, ensemble and LM checkpoints."""
+    import numpy as np
+
+    from scikg_spark.core.lm import LanguageModel
+    from scikg_spark.core.neural import (
+        ensemble_from_weights, tagger_from_weights, word_vectors)
+    from scikg_spark.core.word2vec import read_word2vec_bin
+
+    wv_bin = os.path.join(CKPT_DIR, "word_vectors_50.bin")
+    if not os.path.exists(wv_bin):
+        pytest.skip("word-vector checkpoint not present")
+    bin_matrix, bin_w2i = read_word2vec_bin(wv_bin)
+
+    single = tagger_from_weights(SINGLE)
+    ens = ensemble_from_weights(ENSEMBLE)
+    lm = LanguageModel.load(os.path.join(CKPT_DIR, "lm_200d.npz"))
+    for model in (single, *ens.models, lm):
+        assert model.word_table is not None
+        matrix, w2i = model.word_table
+        np.testing.assert_array_equal(matrix, bin_matrix)
+        assert w2i == bin_w2i
+    # in-vocab words resolve to the trained rows, not hash vectors
+    word = next(w for w in bin_w2i if bin_w2i[w] > 1)
+    out = word_vectors([word], table=single.word_table)
+    np.testing.assert_array_equal(out[0], bin_matrix[bin_w2i[word]])
