@@ -83,3 +83,66 @@ class TestWord2Vec:
                            np.ones((3, 4), dtype=np.float32))
         matrix, word2id = read_word2vec_bin(path, max_words=2)
         assert len(word2id) == 4 and "c" not in word2id
+
+
+class TestSkipgramTrainer:
+    """train_skipgram (round 4): the corpus-trained replacement for the
+    hash-vector stand-in (reference consumes a frozen pretrained matrix)."""
+
+    def _two_topic_corpus(self):
+        import numpy as np
+
+        rng = np.random.default_rng(0)
+        a = ["apple", "banana", "cherry", "grape"]
+        b = ["bolt", "nut", "screw", "washer"]
+        sents = []
+        for _ in range(300):
+            sents.append(list(rng.permutation(a)))
+            sents.append(list(rng.permutation(b)))
+        return sents
+
+    def test_deterministic_and_learns_topic_structure(self):
+        import numpy as np
+
+        from scikg_spark.core.word2vec import train_skipgram
+
+        sents = self._two_topic_corpus()
+        vocab, mat, losses = train_skipgram(sents, dim=16, epochs=40, seed=7)
+        assert losses[-1] < losses[0]
+        # same seed -> byte-identical matrix (plan/test reproducibility)
+        vocab2, mat2, _ = train_skipgram(sents, dim=16, epochs=40, seed=7)
+        assert vocab2 == vocab and np.array_equal(mat, mat2)
+
+        w2i = {w: i for i, w in enumerate(vocab)}
+
+        def cos(x, y):
+            vx, vy = mat[w2i[x]], mat[w2i[y]]
+            return float(vx @ vy / (np.linalg.norm(vx) * np.linalg.norm(vy)
+                                    + 1e-9))
+
+        within = (cos("apple", "banana") + cos("bolt", "nut")) / 2
+        across = (cos("apple", "bolt") + cos("banana", "nut")) / 2
+        assert within > across + 0.2  # co-occurring words embed closer
+
+    def test_roundtrips_through_s5_binary(self, tmp_path):
+        import numpy as np
+
+        from scikg_spark.core.neural import word_vectors
+        from scikg_spark.core.word2vec import (
+            read_word2vec_bin, train_skipgram, write_word2vec_bin)
+
+        vocab, mat, _ = train_skipgram(self._two_topic_corpus()[:50],
+                                       dim=8, epochs=2, seed=3)
+        path = str(tmp_path / "wv.bin")
+        write_word2vec_bin(path, vocab, mat)
+        matrix, w2i = read_word2vec_bin(path)
+        got = word_vectors(["apple", "zzz-oov"], dim=8, table=(matrix, w2i))
+        assert np.allclose(got[0], mat[vocab.index("apple")], atol=1e-6)
+        # OOV falls back to the deterministic hash vector, not <unk> zeros
+        assert np.abs(got[1]).sum() > 0
+
+    def test_empty_corpus(self):
+        from scikg_spark.core.word2vec import train_skipgram
+
+        vocab, mat, losses = train_skipgram([], dim=8, epochs=2)
+        assert vocab == [] and len(mat) == 0 and losses == []
