@@ -81,9 +81,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tfidf_topk": text.q_tfidf_topk,
         "q_pii_redact": text.q_pii_redact,
         "q_filter_policy": text.q_filter_policy,
-        # rows-only by nature: LSTM-LM perplexity scoring (CCNet-style);
-        # the LM is pinned by tests/test_trained_checkpoints.py
+        # rows-only by nature: LSTM-LM perplexity scoring (CCNet-style) and
+        # the LM-gated composite policy; the LM is pinned by
+        # tests/test_trained_checkpoints.py and the SQL-expressible policy
+        # slice duels via q_filter_policy
         "q_lm_perplexity": text.q_lm_perplexity,
+        "q_filter_policy_lm": text.q_filter_policy_lm,
         # deduplication + contamination
         "q_dedup_exact": dedup.q_dedup_exact,
         "q_minhash_dup_pairs": dedup.q_minhash_dup_pairs,

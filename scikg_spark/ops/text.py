@@ -494,3 +494,35 @@ def q_lm_perplexity(spark, sf_dir, weights_path: str = _LM_WEIGHTS):
             })
 
     return docs.mapInPandas(score, schema)
+
+
+# documents at or above this perplexity under the corpus-trained LM are
+# dropped by the LM-gated policy (CCNet keeps the low-ppl band; the corpus
+# measures ~30-45, OOV gibberish ~2000+ — 1000 is a wide margin)
+FILTER_MAX_PPL = 1000.0
+
+
+def q_filter_policy_lm(spark, sf_dir, max_ppl: float = FILTER_MAX_PPL):
+    """The composite keep/drop policy with the CCNet-style LM gate appended:
+    docs passing the SQL-expressible gates (lang / length / repetition /
+    contamination — the duelled q_filter_policy) are additionally dropped
+    when their perplexity under the corpus-trained LM reaches ``max_ppl``
+    ('perplexity' reason; NULL ppl = too short to score, passes). Rows-only
+    by nature (the LM gate is an LSTM forward); every SQL-expressible slice
+    of the policy keeps duelling through q_filter_policy.
+
+    Scale shape: the base policy's joins are unchanged; the LM gate adds the
+    one fused Arrow pass of q_lm_perplexity and a doc_id equi-join — at
+    10^12 docs both sides are pre-partitionable on doc_id."""
+    base = q_filter_policy(spark, sf_dir)
+    ppl = q_lm_perplexity(spark, sf_dir).select("doc_id", "ppl")
+    reason = (
+        F.when(F.col("reason") != "ok", F.col("reason"))
+        .when(F.col("ppl") >= max_ppl, F.lit("perplexity"))
+        .otherwise(F.lit("ok")))
+    return (
+        base.join(ppl, "doc_id", "left")
+        .withColumn("reason", reason)
+        .select("doc_id", (F.col("reason") == "ok").alias("keep"),
+                "reason", "ppl")
+    )

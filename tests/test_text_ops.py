@@ -148,17 +148,19 @@ def test_filter_policy_all_reasons(spark, tmp_path):
 def test_new_ops_handle_empty_corpus(spark, tmp_path):
     """Empty documents table -> every round-3 op returns an empty frame with
     its full schema (no Arrow empty-batch degradation, no div-by-zero)."""
-    from scikg_spark.ops.dedup import q_contamination
+    from scikg_spark.ops.dedup import q_contamination, q_contamination_eval
     from scikg_spark.ops.sampling import (
         q_split_stats, q_stratified_sample, q_train_split)
-    from scikg_spark.ops.text import q_filter_policy, q_pii_redact, q_tfidf_topk
+    from scikg_spark.ops.text import (
+        q_filter_policy, q_lm_perplexity, q_pii_redact, q_tfidf_topk)
 
     out = str(tmp_path / "sfe")
     spark.createDataFrame(
         [], "doc_id long, text string, lang string, source string, n_chars long"
     ).write.parquet(f"{out}/documents.parquet")
     for fn in (q_train_split, q_split_stats, q_stratified_sample,
-               q_tfidf_topk, q_pii_redact, q_contamination, q_filter_policy):
+               q_tfidf_topk, q_pii_redact, q_contamination, q_filter_policy,
+               q_contamination_eval, q_lm_perplexity):
         df = fn(spark, out)
         assert df.count() == 0, fn.__name__
         assert len(df.columns) >= 2, fn.__name__
@@ -219,3 +221,31 @@ def test_lm_perplexity_separates_gibberish(spark, tmp_path):
     assert got[0]["ppl"] < got[1]["ppl"]
     assert got[2]["ppl"] is None and got[2]["avg_nll"] is None
     assert got[0]["n_tokens"] == 13
+
+
+def test_filter_policy_lm_adds_perplexity_gate(spark, tmp_path):
+    """Docs passing the SQL gates but scoring gibberish-level perplexity get
+    the 'perplexity' reason; SQL-gate failures keep their original (first
+    failing) reason; normal docs keep 'ok'."""
+    from scikg_spark.ops.text import FILTER_MIN_WORDS, q_filter_policy_lm
+
+    # in-distribution text = a real corpus doc (the LM is trained on this
+    # distribution; invented word salads score gibberish-level ppl even over
+    # in-vocab words — that sharpness is the point of the gate)
+    normal = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+              .filter(f"lang = 'en' and size(split(text, ' ')) >= "
+                      f"{FILTER_MIN_WORDS + 5}")
+              .orderBy("doc_id").first()["text"])
+    gibberish = " ".join(f"zx{i}vq" for i in range(FILTER_MIN_WORDS + 10))
+    short = "tiny doc"
+    texts = {0: normal, 1: gibberish, 2: short}
+    out = str(tmp_path / "sfplm")
+    spark.createDataFrame(
+        [(i, t, "en", "src0", len(t)) for i, t in texts.items()],
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{out}/documents.parquet")
+
+    got = {r["doc_id"]: r for r in q_filter_policy_lm(spark, out).collect()}
+    assert got[0]["reason"] == "ok" and got[0]["keep"]
+    assert got[1]["reason"] == "perplexity" and not got[1]["keep"]
+    assert got[2]["reason"] == "too_short"  # SQL gate wins before the LM gate
