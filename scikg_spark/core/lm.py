@@ -151,19 +151,30 @@ def score_nll(lm: LanguageModel, sentences, batch: int = 64):
         valid = (lens[:, None] - 1) > np.arange(T)[None, :]
         h = np.zeros((B, lm.hidden), dtype=np.float32)
         c_st = np.zeros((B, lm.hidden), dtype=np.float32)
-        nll = np.zeros(B)
-        n_tok = np.zeros(B)
+        hs = np.zeros((B, T - 1, lm.hidden), dtype=np.float32)
         for t in range(T - 1):
             v = valid[:, t:t + 1]
             h2, c2, _ = _lstm_fwd(lm.cell, x[:, t], h, c_st)
             h = np.where(v, h2, h)
             c_st = np.where(v, c2, c_st)
-            rows = np.nonzero(valid[:, t])[0]
-            if len(rows) == 0:
-                continue
-            logp = _log_softmax(h[rows] @ lm.dec_w + lm.dec_b)
-            nll[rows] -= logp[np.arange(len(rows)), y[rows, t + 1]]
-            n_tok[rows] += 1
+            hs[:, t] = h
+        # decoder batched over all valid positions at once (the recurrence
+        # can't batch across time, the |V|-wide decoder — the flop hog —
+        # can), in ~1k-row chunks: this box's OpenBLAS runs one huge
+        # (N,200)@(200,|V|) gemm ~7x SLOWER than the same flops chunked
+        rows, ts = np.nonzero(valid[:, :T - 1])
+        if len(rows) == 0:
+            continue
+        states = hs[rows, ts]
+        tgt = y[rows, ts + 1]
+        tok_nll = np.empty(len(rows), dtype=np.float64)
+        for s0 in range(0, len(rows), 1024):
+            sl = slice(s0, s0 + 1024)
+            logp = _log_softmax(states[sl] @ lm.dec_w + lm.dec_b)
+            tok_nll[sl] = -logp[np.arange(logp.shape[0]), tgt[sl]]
+        nll = np.zeros(B)
+        np.add.at(nll, rows, tok_nll)
+        n_tok = np.bincount(rows, minlength=B)
         for bi, i in enumerate(idx):
             if n_tok[bi] > 0:
                 out[i] = float(nll[bi] / n_tok[bi])
