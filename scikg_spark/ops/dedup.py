@@ -47,7 +47,12 @@ _MIX = [_mix_consts(i) for i in range(_N_HASHES)]
 
 
 def _docs(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # every dedup op does per-doc token/shingle/hash work on the scan side,
+    # so parallelism must track cores, not input splits (see helper doc)
+    from scikg_spark.pipeline.session import parallelize_scan
+
+    return parallelize_scan(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def q_dedup_exact(spark, sf_dir):

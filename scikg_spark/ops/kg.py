@@ -115,7 +115,11 @@ def _tuples(spark, sf_dir):
     if cached is not None:
         return cached
     _evict_stale(spark, _TUPLES_CACHE, key, sf_dir)
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from scikg_spark.pipeline.session import parallelize_scan
+
+    # the Arrow extraction UDFs are compute-bound: track cores, not splits
+    docs = parallelize_scan(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"))
     pages = build_pages_from_documents(docs)
     t = pages_to_tuples(pages).cache()
     _TUPLES_CACHE[key] = t

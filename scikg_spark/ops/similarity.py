@@ -22,7 +22,12 @@ _DOT = ("aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as do
 
 
 def _emb(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # per-row vector math (dot products, hyperplane projections) is
+    # compute-bound: track cores, not input splits (see helper doc)
+    from scikg_spark.pipeline.session import parallelize_scan
+
+    return parallelize_scan(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
 
 def _cosine(a: str, b: str) -> str:

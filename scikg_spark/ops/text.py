@@ -465,14 +465,11 @@ def q_lm_perplexity(spark, sf_dir, weights_path: str = _LM_WEIGHTS):
 
     docs = _docs(spark, sf_dir).filter(F.col("n_chars") > 0) \
         .select("doc_id", "text")
-    # the scorer is COMPUTE-bound (LSTM + |V|-wide decoder per token), so
-    # parallelism must track cores, not input splits: a small corpus lands
-    # in one parquet split and one task would run the whole LM pass (
-    # measured 9-11 s -> ~1 s at sf0.1). At 10^12 docs the scan already has
-    # more splits than cores and this repartition is a no-op branch.
-    par = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < par:
-        docs = docs.repartition(par)
+    # the scorer is COMPUTE-bound (LSTM + |V|-wide decoder per token):
+    # parallelism must track cores, not input splits (see helper doc)
+    from scikg_spark.pipeline.session import parallelize_scan
+
+    docs = parallelize_scan(docs)
     schema = StructType([
         StructField("doc_id", LongType()),
         StructField("n_tokens", LongType()),

@@ -59,3 +59,23 @@ def get_spark(app_name="scikg", cores=None, shuffle_partitions=None,
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)
     return builder.getOrCreate()
+
+
+def parallelize_scan(df):
+    """Repartition a COMPUTE-bound scan to core count when the input has
+    fewer splits than cores.
+
+    Small corpora land in one parquet split, so every per-row-expensive
+    stage downstream of the scan (shingling + md5, Arrow extraction UDFs,
+    LM forwards) runs in ONE task regardless of core count — measured at
+    sf0.1/local[32]: minhash 4.4 s -> 2.8 s, LM scoring 7.3 s -> 2.6 s,
+    fused extraction 2.3 s -> 1.8 s. The round-robin shuffle this adds
+    moves only the small input (KBs-MBs). At production scale the scan has
+    more splits than cores and this is a no-op branch; cheap metadata-rate
+    scans (plain aggregations) should NOT use it — the shuffle would
+    dominate them."""
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
