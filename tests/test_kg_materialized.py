@@ -186,3 +186,20 @@ def test_production_materialization_partition_pruning(spark, tmp_path):
               .filter("kind = 'f'").count())
     got = cat.read("kg_tuples").filter("kind = 'f'").count()
     assert got == expect
+
+
+def test_parallelize_scan_tracks_cores(spark):
+    """Single-split inputs repartition to core count before compute-bound
+    work; already-wide inputs pass through untouched (the production no-op
+    branch)."""
+    from scikg_spark.pipeline.session import parallelize_scan
+
+    par = spark.sparkContext.defaultParallelism
+    narrow = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assert narrow.rdd.getNumPartitions() < par
+    scaled = parallelize_scan(narrow)
+    assert scaled.rdd.getNumPartitions() == par
+    assert scaled.count() == narrow.count()
+
+    wide = narrow.repartition(par + 4)
+    assert parallelize_scan(wide) is wide
