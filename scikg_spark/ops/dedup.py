@@ -56,8 +56,10 @@ def _docs(spark, sf_dir):
 
 
 def q_dedup_exact(spark, sf_dir):
+    # one md5 per doc is metadata-rate work: the parallelize_scan shuffle
+    # would dominate it (measured 0.27 s -> 1.3 s), so read the raw scan
     return (
-        _docs(spark, sf_dir)
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
         .groupBy(F.md5("text").alias("text_hash"))
         .agg(F.count("*").alias("n_dups"), F.min("doc_id").alias("keep_doc_id"))
         .filter(F.col("n_dups") > 1)

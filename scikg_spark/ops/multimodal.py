@@ -151,7 +151,11 @@ def q_media_features(spark, sf_dir):
     md5-derived, so DuckDB can reproduce width/height/n_bytes/mean/histogram
     from doc_id with the same instr-based hex-digit math as the SimHash duel.
     """
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from scikg_spark.pipeline.session import parallelize_scan
+
+    # decode/feature UDFs are compute-bound: track cores, not splits
+    docs = parallelize_scan(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"))
     feats = extract_features(build_media_table(docs))
     return feats.select(
         "doc_id", "kind",
@@ -241,7 +245,11 @@ def q_frame_sample_stats(spark, sf_dir, every: int = FRAME_EVERY):
     video-frame-sampling shape) -> per-doc stats over the sampled frames.
     Fully oracle-checked — the sampled positions are deterministic functions
     of the md5-derived fake container."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from scikg_spark.pipeline.session import parallelize_scan
+
+    # decode/feature UDFs are compute-bound: track cores, not splits
+    docs = parallelize_scan(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"))
     frames = sample_frames(build_media_table(docs), every=every)
     n = F.size("samples")
     total = F.expr("aggregate(samples, cast(0.0 as double), (a, x) -> a + x)")
