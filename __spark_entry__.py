@@ -121,6 +121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entity_cooccurrence": kg.kg_entity_cooccurrence,
         "kg_degree_stats": kg.kg_degree_stats,
         "kg_synonym_clusters": kg.kg_synonym_clusters,
+        "kg_pagerank": kg.kg_pagerank,
     }
     return {name: wrap(fn) for name, fn in qs.items()}
 

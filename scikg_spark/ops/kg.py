@@ -393,6 +393,7 @@ def kg_oracle(sf_dir: str | None = None) -> dict[str, str]:
     _E = os.path.join(mat, "edges", "*.parquet")
     _N = os.path.join(mat, "nodes_syn", "*.parquet")
     return {
+        "kg_pagerank": _pagerank_oracle(_E),
         "kg_synonym_clusters": f"""
         SELECT canonical, CAST(n_phrases AS BIGINT) AS n_phrases
         FROM read_parquet('{_N}')
@@ -482,7 +483,6 @@ def kg_oracle(sf_dir: str | None = None) -> dict[str, str]:
     }
 
 
-ORACLE = kg_oracle()
 
 
 def kg_synonym_clusters(spark, sf_dir, min_phrases: int = _SYN_MIN_PHRASES):
@@ -501,6 +501,110 @@ def kg_synonym_clusters(spark, sf_dir, min_phrases: int = _SYN_MIN_PHRASES):
         .orderBy(F.desc("n_phrases"), "canonical")
         .limit(50)
     )
+
+
+# PageRank defaults shared with the oracle (exact parity on defaults)
+_PR_ITERATIONS = 5
+_PR_DAMPING = 0.85
+
+
+def kg_pagerank(spark, sf_dir, iterations: int = _PR_ITERATIONS,
+                damping: float = _PR_DAMPING, top_k: int = 50):
+    """Fixed-iteration PageRank over the canonical entity graph (distinct
+    directed (subj_entity, obj_entity) pairs from the materialized edges
+    snapshot): rank_{t+1}(v) = (1-d)/N + d * Σ_{u→v} rank_t(u)/outdeg(u)
+    — the documented no-dangling-redistribution variant, so the SAME
+    computation unrolls as plain (non-recursive) SQL and the whole iterative
+    algorithm DUELS against DuckDB. Final ranks round to 6 decimals for
+    cross-engine float stability; top-k hubs by rank.
+
+    Scale shape: the per-iteration step is one equi-join + one aggregation
+    (identical to the CC round shape); the rank frame localCheckpoints per
+    round so plans stay flat. At 10^12-doc entity counts you'd pre-partition
+    edges and ranks on the join key once and reuse the exchange."""
+    edges = _materialized(spark, sf_dir, "edges")
+    pairs = (
+        edges.filter(F.col("subj_entity").isNotNull()
+                     & F.col("obj_entity").isNotNull())
+        .select(F.col("subj_entity").alias("src"),
+                F.col("obj_entity").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    nodes = (pairs.select(F.col("src").alias("id"))
+             .union(pairs.select(F.col("dst").alias("id")))
+             .distinct().localCheckpoint())
+    n = nodes.count()
+    if n == 0:
+        return nodes.select("id", F.lit(0.0).alias("rank"),
+                            F.lit(0).cast("long").alias("rank_pos"))
+    outdeg = pairs.groupBy("src").agg(F.count("*").alias("outdeg"))
+    wedges = pairs.join(outdeg, "src").localCheckpoint()
+    rank = nodes.select("id", (F.lit(1.0) / n).alias("rank"))
+    for _ in range(iterations):
+        contrib = (
+            wedges.join(rank, wedges["src"] == rank["id"])
+            .groupBy(F.col("dst").alias("cid"))
+            .agg(F.sum(F.col("rank") / F.col("outdeg")).alias("c"))
+        )
+        rank = (
+            nodes.join(contrib, nodes["id"] == contrib["cid"], "left")
+            .select("id", (F.lit((1.0 - damping) / n)
+                           + damping * F.coalesce("c", F.lit(0.0))
+                           ).alias("rank"))
+            .localCheckpoint()
+        )
+    from pyspark.sql.window import Window
+
+    top = (rank.select("id", F.round("rank", 6).alias("rank"))
+           .orderBy(F.desc("rank"), F.asc("id")).limit(top_k))
+    w = Window.partitionBy(
+        F.substring(F.col("id").cast("string"), 1, 0)
+    ).orderBy(F.desc("rank"), F.asc("id"))
+    return top.withColumn("rank_pos",
+                          F.row_number().over(w).cast("long"))
+
+
+def _pagerank_oracle(edges_glob: str) -> str:
+    """The SAME fixed iteration unrolled as chained CTEs (standard SQL
+    forbids aggregation over a recursive reference, so no recursion —
+    pr0..pr{k} are plain derived tables)."""
+    d = _PR_DAMPING
+    sql = [f"""
+    WITH pairs AS (
+        SELECT DISTINCT subj_entity AS src, obj_entity AS dst
+        FROM read_parquet('{edges_glob}')
+        WHERE subj_entity IS NOT NULL AND obj_entity IS NOT NULL
+          AND subj_entity != obj_entity
+    ),
+    nodes AS (
+        SELECT src AS id FROM pairs UNION SELECT dst FROM pairs
+    ),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    outdeg AS (SELECT src, count(*) AS outdeg FROM pairs GROUP BY src),
+    wedges AS (SELECT p.src, p.dst, o.outdeg FROM pairs p
+               JOIN outdeg o ON p.src = o.src),
+    pr0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)"""]
+    for i in range(_PR_ITERATIONS):
+        sql.append(f""",
+    c{i} AS (
+        SELECT w.dst AS cid, sum(p.rank / w.outdeg) AS c
+        FROM wedges w JOIN pr{i} p ON w.src = p.id GROUP BY w.dst
+    ),
+    pr{i + 1} AS (
+        SELECT n.id,
+               (1.0 - {d}) / (SELECT n FROM nn)
+                   + {d} * coalesce(c.c, 0.0) AS rank
+        FROM nodes n LEFT JOIN c{i} c ON n.id = c.cid
+    )""")
+    sql.append(f"""
+    SELECT id, rank, CAST(rank_pos AS BIGINT) AS rank_pos
+    FROM (SELECT id, round(rank, 6) AS rank,
+                 row_number() OVER (ORDER BY round(rank, 6) DESC, id ASC)
+                     AS rank_pos
+          FROM pr{_PR_ITERATIONS})
+    WHERE rank_pos <= 50""")
+    return "".join(sql)
 
 
 def kg_degree_stats(spark, sf_dir, top_k: int = 20):
@@ -538,3 +642,6 @@ def kg_degree_stats(spark, sf_dir, top_k: int = 20):
                 F.col("rank").cast("long").alias("rank"))
     )
 
+
+# rendered last: kg_oracle references helpers defined throughout the module
+ORACLE = kg_oracle()

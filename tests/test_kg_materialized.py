@@ -203,3 +203,22 @@ def test_parallelize_scan_tracks_cores(spark):
 
     wide = narrow.repartition(par + 4)
     assert parallelize_scan(wide) is wide
+
+
+def test_kg_pagerank_semantics(spark):
+    """Fixed-iteration PageRank over the entity graph: positive ranks,
+    rank_pos consistent with rank order, mass bounded by 1 (the documented
+    no-dangling-redistribution variant leaks dangling mass, never gains)."""
+    from scikg_spark.ops import kg
+
+    df = kg.kg_pagerank(spark, "/root/testdata/sf0.001").toPandas()
+    assert list(df.columns) == ["id", "rank", "rank_pos"]
+    assert len(df) > 0
+    assert (df["rank"] > 0).all()
+    assert list(df["rank_pos"]) == sorted(df["rank_pos"])
+    assert df.sort_values("rank_pos")["rank"].is_monotonic_decreasing
+    # full-graph mass check needs the un-truncated frame (top_k must stay
+    # modest: TakeOrdered preallocates a top_k-sized heap per partition)
+    full = kg.kg_pagerank(spark, "/root/testdata/sf0.001", top_k=100_000)
+    total = full.toPandas()["rank"].sum()
+    assert 0 < total <= 1.0 + 1e-6
