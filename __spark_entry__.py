@@ -122,6 +122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_degree_stats": kg.kg_degree_stats,
         "kg_synonym_clusters": kg.kg_synonym_clusters,
         "kg_pagerank": kg.kg_pagerank,
+        "kg_triangle_count": kg.kg_triangle_count,
     }
     return {name: wrap(fn) for name, fn in qs.items()}
 

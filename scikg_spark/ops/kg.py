@@ -394,6 +394,33 @@ def kg_oracle(sf_dir: str | None = None) -> dict[str, str]:
     _N = os.path.join(mat, "nodes_syn", "*.parquet")
     return {
         "kg_pagerank": _pagerank_oracle(_E),
+        "kg_triangle_count": f"""
+        WITH und AS (
+            SELECT DISTINCT least(subj_entity, obj_entity) AS lo,
+                            greatest(subj_entity, obj_entity) AS hi
+            FROM read_parquet('{_E}')
+            WHERE subj_entity IS NOT NULL AND obj_entity IS NOT NULL
+              AND subj_entity != obj_entity
+        ),
+        tri AS (
+            SELECT w1.lo AS a, w1.hi AS b, w2.hi AS c
+            FROM und w1
+            JOIN und w2 ON w1.lo = w2.lo AND w1.hi < w2.hi
+            JOIN und e ON e.lo = w1.hi AND e.hi = w2.hi
+        ),
+        per_vertex AS (
+            SELECT entity_id, count(*) AS n_triangles
+            FROM (SELECT a AS entity_id FROM tri
+                  UNION ALL SELECT b FROM tri
+                  UNION ALL SELECT c FROM tri)
+            GROUP BY entity_id
+        )
+        SELECT entity_id, n_triangles, CAST(rank AS BIGINT) AS rank
+        FROM (SELECT *, row_number() OVER (
+                  ORDER BY n_triangles DESC, entity_id ASC) AS rank
+              FROM per_vertex)
+        WHERE rank <= 50
+    """,
         "kg_synonym_clusters": f"""
         SELECT canonical, CAST(n_phrases AS BIGINT) AS n_phrases
         FROM read_parquet('{_N}')
@@ -563,6 +590,47 @@ def kg_pagerank(spark, sf_dir, iterations: int = _PR_ITERATIONS,
     ).orderBy(F.desc("rank"), F.asc("id"))
     return top.withColumn("rank_pos",
                           F.row_number().over(w).cast("long"))
+
+
+def kg_triangle_count(spark, sf_dir, top_k: int = 50):
+    """Per-entity triangle counts over the UNDIRECTED canonical entity graph
+    (distinct (subj_entity, obj_entity) pairs, direction dropped) — the
+    clustering-structure signal a KG consumer reads next after degree/rank.
+
+    Scale shape: degree-ordered wedge counting — edges canonicalize to
+    (lo, hi); each triangle (a < b < c) is found exactly once by joining
+    wedge (a,b)x(a,c) against edge (b,c). Both steps are equi-joins on
+    shared keys (no cross join); the wedge fan-out is bounded by the same
+    observation that drives LSH bucket caps: hot vertices dominate wedges,
+    and at 10^12-doc scale you'd cap or sample per-vertex adjacency first.
+    Fully SQL-expressible, so the whole algorithm duels."""
+    edges = _materialized(spark, sf_dir, "edges")
+    und = (
+        edges.filter(F.col("subj_entity").isNotNull()
+                     & F.col("obj_entity").isNotNull()
+                     & (F.col("subj_entity") != F.col("obj_entity")))
+        .select(F.least("subj_entity", "obj_entity").alias("lo"),
+                F.greatest("subj_entity", "obj_entity").alias("hi"))
+        .distinct()
+        .localCheckpoint()
+    )
+    a = und.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+    c = und.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
+    wedges = a.join(c, "a").filter(F.col("b") < F.col("c"))
+    tri = wedges.join(
+        und, (wedges["b"] == und["lo"]) & (wedges["c"] == und["hi"]))
+    per_vertex = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("entity_id"))
+        .groupBy("entity_id")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    from pyspark.sql.window import Window
+
+    top = per_vertex.orderBy(F.desc("n_triangles"), "entity_id").limit(top_k)
+    w = Window.partitionBy(
+        F.substring(F.col("entity_id").cast("string"), 1, 0)
+    ).orderBy(F.desc("n_triangles"), F.asc("entity_id"))
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
 
 
 def _pagerank_oracle(edges_glob: str) -> str:

@@ -222,3 +222,17 @@ def test_kg_pagerank_semantics(spark):
     full = kg.kg_pagerank(spark, "/root/testdata/sf0.001", top_k=100_000)
     total = full.toPandas()["rank"].sum()
     assert 0 < total <= 1.0 + 1e-6
+
+
+def test_kg_triangle_count_semantics(spark):
+    from scikg_spark.ops import kg
+
+    df = kg.kg_triangle_count(spark, "/root/testdata/sf0.001").toPandas()
+    assert list(df.columns) == ["entity_id", "n_triangles", "rank"]
+    assert (df["n_triangles"] > 0).all()
+    assert df.sort_values("rank")["n_triangles"].is_monotonic_decreasing
+    # every counted triangle's vertices are real entities
+    nodes = {r["entity_id"] for r in
+             kg.kg_entity_nodes(spark, "/root/testdata/sf0.001")
+             .select("entity_id").collect()}
+    assert set(df["entity_id"]) <= nodes
