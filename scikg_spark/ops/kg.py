@@ -5,14 +5,17 @@ are rows-only driver checks: tag decoding is not SQL-expressible — their
 oracle is the pure-Python reference decode, gated in
 tests/test_pipeline_spark.py (P=R=1.0 on the shipped eval corpus).
 
-The downstream graph AGGREGATIONS (kg_top_facts, kg_statement_stats,
-kg_entity_cooccurrence) read a MATERIALIZED parquet of the gated extraction
-outputs (``materialize_kg_tables``) and are therefore plain SQL — each
-carries a DuckDB mirror over the same parquet files, so the aggregation
-logic duels like every relational query. This mirrors the production shape:
-at 10^12 docs the tuples/edges tables are stage-boundary snapshots in the
-catalog, and all graph analytics scan those snapshots, never the extraction
-lineage.
+The downstream graph ANALYTICS (kg_top_facts, kg_statement_stats,
+kg_entity_cooccurrence, kg_degree_stats, kg_synonym_clusters, and the
+iterative kg_pagerank / kg_triangle_count) read a MATERIALIZED parquet of
+the gated extraction outputs (``materialize_kg_tables``) and are therefore
+SQL-expressible — each carries a DuckDB mirror over the same parquet files
+(PageRank's mirror unrolls the same fixed iterations as chained CTEs), so
+the analytics logic duels like every relational query. This mirrors the
+production shape: at 10^12 docs the tuples/edges tables are stage-boundary
+snapshots in the catalog (``materialize_kg_production`` writes the
+partitioned SnapshotCatalog form), and all graph analytics scan those
+snapshots, never the extraction lineage.
 """
 
 from __future__ import annotations
