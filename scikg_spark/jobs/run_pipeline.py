@@ -27,7 +27,15 @@ def main(argv=None):
     src.add_argument("--documents",
                      help="testdata dir; pages are synthesized from documents.parquet")
     parser.add_argument("--out", required=True, help="output warehouse dir")
-    parser.add_argument("--tagger", default="rule", choices=["rule"])
+    parser.add_argument("--tagger", default="rule",
+                        choices=["rule", "neural", "ensemble"],
+                        help="rule = fused teacher pipeline; neural/ensemble "
+                             "= trained-checkpoint inference (numpy BiLSTM "
+                             "on executors)")
+    parser.add_argument("--weights",
+                        help="trained .npz checkpoint for --tagger "
+                             "neural/ensemble (default: the committed "
+                             "ensemble_111/bptt_best_single)")
     parser.add_argument("--lang", default="en")
     parser.add_argument("--no-lsh", action="store_true")
     parser.add_argument("--no-resume", action="store_true")
@@ -37,10 +45,20 @@ def main(argv=None):
     parser.add_argument("--sh", action="store_true", help="SH length filter")
     args = parser.parse_args(argv)
 
+    import os
+
     from scikg_spark.pipeline.session import get_spark
     from scikg_spark.pipeline.stage1 import build_pages_from_documents
     from scikg_spark.pipeline.stage4 import SnapshotCatalog
     from scikg_spark.pipeline.runner import run_pipeline
+
+    weights = args.weights
+    if args.tagger in ("neural", "ensemble") and not weights:
+        ckpt_dir = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__)))), "checkpoints")
+        weights = os.path.join(
+            ckpt_dir, "ensemble_111.npz" if args.tagger == "ensemble"
+            else "bptt_best_single.npz")
 
     spark = get_spark(app_name="scikg-pipeline", cores=args.cores)
     try:
@@ -54,6 +72,7 @@ def main(argv=None):
             spark, pages,
             catalog=catalog,
             tagger=args.tagger,
+            weights_path=weights,
             lang=args.lang,
             use_lsh=not args.no_lsh,
             resume=not args.no_resume,

@@ -26,6 +26,7 @@ def run_pipeline(
     catalog: SnapshotCatalog | None = None,
     tagger: str = "rule",
     gold: DataFrame | None = None,
+    weights_path: str | None = None,
     lang: str | None = "en",
     use_lsh: bool = True,
     resume: bool = True,
@@ -64,7 +65,8 @@ def run_pipeline(
             # mapInPandas would run 2 workers per task slot (see fused.py)
             return extract_tuples(statements, **corrections)
         return decode_tuples(
-            tag_statements(statements, mode=tagger, gold=gold, **corrections))
+            tag_statements(statements, mode=tagger, gold=gold,
+                           weights_path=weights_path, **corrections))
 
     tuples = stage("tuples", build_tuples, partition_by=("kind",))
 

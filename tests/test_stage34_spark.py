@@ -301,3 +301,31 @@ class TestStarCC:
         comp = {r.id: r.comp for r in
                 connected_components_star(edges, verts).collect()}
         assert comp == {1: 1, 2: 1, 5: 5, 9: 9}
+
+
+def test_run_pipeline_with_trained_ensemble(spark, tmp_path):
+    """The production runner accepts the trained-checkpoint taggers
+    (round 4: run_pipeline grew weights_path; the job exposes --tagger
+    neural/ensemble --weights). The trained ensemble reproduces the rule
+    teacher's tuple multiset on fresh docs (1.0-F1 checkpoints)."""
+    import os
+
+    from scikg_spark.pipeline.runner import run_pipeline
+    from scikg_spark.pipeline.stage1 import build_pages_from_documents
+
+    weights = "/root/repo/checkpoints/ensemble_111.npz"
+    if not os.path.exists(weights):
+        import pytest
+
+        pytest.skip("trained ensemble not present")
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").limit(40)
+    pages = build_pages_from_documents(docs).cache()
+    ens = run_pipeline(spark, pages, tagger="ensemble",
+                       weights_path=weights)["tuples"]
+    rule = run_pipeline(spark, pages, tagger="rule")["tuples"]
+    cols = ["doc_id", "stmt_id", "kind", "subj", "pred", "obj"]
+    n_rule = rule.count()
+    n_match = ens.select(*cols).intersect(rule.select(*cols)).count()
+    assert n_rule > 0
+    assert n_match / n_rule >= 0.9
