@@ -123,6 +123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_synonym_clusters": kg.kg_synonym_clusters,
         "kg_pagerank": kg.kg_pagerank,
         "kg_triangle_count": kg.kg_triangle_count,
+        "kg_fact_conditions": kg.kg_fact_conditions,
     }
     return {name: wrap(fn) for name, fn in qs.items()}
 

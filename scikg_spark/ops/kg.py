@@ -346,6 +346,35 @@ def kg_top_facts(spark, sf_dir):
     )
 
 
+# the synthetic statements are near-unique, so pattern pairs rarely repeat
+# — default keeps every pairing (support>=1); real corpora raise it
+_FACT_COND_MIN_SUPPORT = 1
+
+
+def kg_fact_conditions(spark, sf_dir, min_support: int = _FACT_COND_MIN_SUPPORT):
+    """THE SciKG consumer query: condition-aware facts — for each (subj,
+    pred, obj) fact pattern, the condition-tuple patterns stated alongside
+    it (same statement), with co-statement support. The KDD'19 thesis is
+    that facts are only valid under their conditions (README.md:1-8); this
+    surfaces that pairing as a duelled SQL query over the tuples snapshot
+    (the CLI's conditions-for is the point-lookup version)."""
+    t = _materialized(spark, sf_dir, "tuples")
+    facts = t.filter(F.col("kind") == "f").select(
+        "doc_id", "stmt_id", "subj", "pred", "obj")
+    conds = t.filter(F.col("kind") == "c").select(
+        "doc_id", "stmt_id",
+        F.col("subj").alias("cond_subj"),
+        F.col("pred").alias("cond_pred"),
+        F.col("obj").alias("cond_obj"))
+    return (
+        facts.join(conds, ["doc_id", "stmt_id"])
+        .groupBy("subj", "pred", "obj",
+                 "cond_subj", "cond_pred", "cond_obj")
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= min_support)
+    )
+
+
 def kg_statement_stats(spark, sf_dir):
     """Per-document extraction statistics (correction-chain observability).
     SQL over the materialized tuples snapshot."""
@@ -397,6 +426,17 @@ def kg_oracle(sf_dir: str | None = None) -> dict[str, str]:
     _N = os.path.join(mat, "nodes_syn", "*.parquet")
     return {
         "kg_pagerank": _pagerank_oracle(_E),
+        "kg_fact_conditions": f"""
+        WITH t AS (SELECT * FROM read_parquet('{_T}'))
+        SELECT f.subj, f.pred, f.obj,
+               c.subj AS cond_subj, c.pred AS cond_pred, c.obj AS cond_obj,
+               count(*) AS support
+        FROM (SELECT * FROM t WHERE kind = 'f') f
+        JOIN (SELECT * FROM t WHERE kind = 'c') c
+          ON f.doc_id = c.doc_id AND f.stmt_id = c.stmt_id
+        GROUP BY 1, 2, 3, 4, 5, 6
+        HAVING count(*) >= {_FACT_COND_MIN_SUPPORT}
+    """,
         "kg_triangle_count": f"""
         WITH und AS (
             SELECT DISTINCT least(subj_entity, obj_entity) AS lo,

@@ -236,3 +236,24 @@ def test_kg_triangle_count_semantics(spark):
              kg.kg_entity_nodes(spark, "/root/testdata/sf0.001")
              .select("entity_id").collect()}
     assert set(df["entity_id"]) <= nodes
+
+
+def test_kg_fact_conditions_pairs_facts_with_their_conditions(spark):
+    """Every output row pairs a fact pattern with a condition stated in the
+    SAME statement; totals reconcile with the per-statement cross product."""
+    from pyspark.sql import functions as F
+
+    from scikg_spark.ops import kg
+
+    sf = "/root/testdata/sf0.001"
+    df = kg.kg_fact_conditions(spark, sf)
+    t = kg.kg_triples(spark, sf)
+    per_stmt = (
+        t.groupBy("doc_id", "stmt_id")
+        .agg(F.sum(F.when(F.col("kind") == "f", 1).otherwise(0)).alias("nf"),
+             F.sum(F.when(F.col("kind") == "c", 1).otherwise(0)).alias("nc"))
+    )
+    expect = per_stmt.select(
+        F.sum(F.col("nf") * F.col("nc")).alias("pairs")).first()["pairs"]
+    got = df.select(F.sum("support").alias("s")).first()["s"]
+    assert got == expect and got > 0
