@@ -151,6 +151,21 @@ class SnapshotCatalog:
                 out.append(json.load(f))
         return out
 
+    def incremental_read(self, table: str, from_snapshot: int,
+                         to_snapshot: int | None = None):
+        """Iceberg incremental-consumption surface (``incremental read`` /
+        changelog scan): the rows ADDED and REMOVED between two committed
+        snapshots — what a downstream consumer processes to catch up from
+        ``from_snapshot`` without rescanning the table. Returns
+        ``(added_df, removed_df)``; ``to_snapshot`` defaults to the current
+        pointer. Both snapshots stay immutable on disk, so the diff is two
+        ``exceptAll`` scans (multiset semantics: duplicate rows diff by
+        count) — at 10^12 docs a real Iceberg changelog avoids the scans via
+        per-file manifests, which is the swap-note path."""
+        new = self.read(table, to_snapshot)
+        old = self.read(table, from_snapshot)
+        return new.exceptAll(old), old.exceptAll(new)
+
     def rollback(self, table: str, snapshot_id: int) -> dict:
         """Repoint the table to an older snapshot (atomic pointer swap; no
         data is rewritten, and later writes get fresh ids — history keeps

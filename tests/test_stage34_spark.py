@@ -104,6 +104,21 @@ class TestSnapshots:
         with pytest.raises(FileNotFoundError):
             cat.read("t", snapshot_id=99)
 
+    def test_incremental_read(self, spark, tmp_path):
+        """Iceberg incremental-consumption semantics: (added, removed)
+        between two snapshots, multiset-exact, default to the pointer."""
+        from pyspark.sql import functions as F
+
+        cat = SnapshotCatalog(spark, str(tmp_path))
+        cat.write(spark.range(5), "t")                       # 0..4
+        cat.write(spark.range(8).filter(F.col("id") != 2), "t")  # 0..7 minus 2
+        added, removed = cat.incremental_read("t", from_snapshot=1)
+        assert sorted(r["id"] for r in added.collect()) == [5, 6, 7]
+        assert sorted(r["id"] for r in removed.collect()) == [2]
+        # explicit to_snapshot and the no-change identity
+        a2, r2 = cat.incremental_read("t", from_snapshot=2, to_snapshot=2)
+        assert a2.count() == 0 and r2.count() == 0
+
     def test_expire_snapshots(self, spark, tmp_path):
         """Iceberg expireSnapshots semantics: old snapshots vacuumed, the
         keep_last newest AND the current pointer always survive."""
