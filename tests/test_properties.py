@@ -73,3 +73,35 @@ def test_match_score_bounds_and_self_identity(t1, t2):
     assert 0.0 <= p <= 1.0 and 0.0 <= r <= 1.0
     p, r, _, _ = match_score(a, a)
     assert p == 1.0 and r == 1.0
+
+
+# -- LM scorer vs trainer parity (round 4) ------------------------------------
+
+word = st.text(alphabet="abcdefg", min_size=1, max_size=4)
+sentence = st.lists(word, min_size=1, max_size=8)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(sentence, min_size=1, max_size=6))
+def test_score_nll_matches_trainer_loss(sents):
+    """The inference-path scorer (batched decoder) and the trainer's loss
+    (per-timestep decoder) compute the SAME token-weighted mean NLL; docs
+    under two tokens score NaN."""
+    import math
+
+    import numpy as np
+
+    from scikg_spark.core.lm import (
+        LanguageModel, LMTrainer, build_vocab, score_nll)
+
+    lm = LanguageModel(build_vocab(sents), seed=11, in_dim=6, hidden=5)
+    nlls = score_nll(lm, sents)
+    scorable = [(s, n) for s, n in zip(sents, nlls) if len(s) >= 2]
+    for (s, n) in zip(sents, nlls):
+        assert (len(s) >= 2) == (n == n)  # NaN iff < 2 tokens
+    if not scorable:
+        return
+    ppl = LMTrainer(lm).perplexity([s for s, _ in scorable])
+    toks = [len(s) - 1 for s, _ in scorable]
+    mean_nll = sum(n * t for (_, n), t in zip(scorable, toks)) / sum(toks)
+    assert math.isclose(ppl, math.exp(mean_nll), rel_tol=1e-4)
