@@ -531,3 +531,70 @@ def q_filter_policy_lm(spark, sf_dir, max_ppl: float = FILTER_MAX_PPL):
         .select("doc_id", (F.col("reason") == "ok").alias("keep"),
                 "reason", "ppl")
     )
+
+
+# -- URL canonicalization / dedup ---------------------------------------------
+
+def q_url_dedup(spark, sf_dir):
+    """URL canonicalization + dedup — the FIRST dedup a Common-Crawl-style
+    pipeline runs (before any text hashing): scheme / case / www. /
+    tracking-query / fragment / trailing-slash variants of the same page
+    must collapse to one canonical key. The corpus's synthesized page URL
+    (``synth.url_for``: https://example.org/doc/<id>) is deterministically
+    exploded into four messy variants per doc, normalized with anchored
+    regexes (one replacement each — Spark's replace-all and DuckDB's
+    replace-first then agree), and grouped back; fully duelled, and a
+    fixture pins that every variant set collapses to exactly the expected
+    canonical. Map-side string ops + one groupBy — no Python, scales as a
+    scan."""
+    base = F.concat(F.lit("https://example.org/doc/"),
+                    F.col("doc_id").cast("string"))
+    variants = F.array(
+        base,
+        F.concat(F.lit("http://EXAMPLE.org/doc/"),
+                 F.col("doc_id").cast("string"), F.lit("/")),
+        F.concat(F.lit("https://www.example.org/doc/"),
+                 F.col("doc_id").cast("string"), F.lit("?utm_source=feed")),
+        F.concat(base, F.lit("#section-2")),
+    )
+    raw = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(variants).alias("url"))
+    canon = F.col("url")
+    for pat in ("#.*$", r"\?.*$", "^https?://", r"^www\.", "/$"):
+        canon = F.regexp_replace(canon, pat, "")
+    canon = F.lower(canon)
+    return (
+        raw.withColumn("canonical", canon)
+        .groupBy("doc_id")
+        .agg(F.countDistinct("url").alias("n_raw_urls"),
+             F.countDistinct("canonical").alias("n_canonical"),
+             F.min("canonical").alias("canonical_url"))
+    )
+
+
+ORACLE["q_url_dedup"] = """
+    WITH raw AS (
+        SELECT doc_id, unnest([
+            'https://example.org/doc/' || CAST(doc_id AS VARCHAR),
+            'http://EXAMPLE.org/doc/' || CAST(doc_id AS VARCHAR) || '/',
+            'https://www.example.org/doc/' || CAST(doc_id AS VARCHAR)
+                || '?utm_source=feed',
+            'https://example.org/doc/' || CAST(doc_id AS VARCHAR)
+                || '#section-2'
+        ]) AS url
+        FROM documents
+    )
+    SELECT doc_id,
+           count(DISTINCT url) AS n_raw_urls,
+           count(DISTINCT canonical) AS n_canonical,
+           min(canonical) AS canonical_url
+    FROM (
+        SELECT doc_id, url,
+               lower(regexp_replace(regexp_replace(regexp_replace(
+                     regexp_replace(regexp_replace(url,
+                     '#.*$', ''), '\\?.*$', ''), '^https?://', ''),
+                     '^www\\.', ''), '/$', '')) AS canonical
+        FROM raw
+    )
+    GROUP BY doc_id
+"""

@@ -249,3 +249,16 @@ def test_filter_policy_lm_adds_perplexity_gate(spark, tmp_path):
     assert got[0]["reason"] == "ok" and got[0]["keep"]
     assert got[1]["reason"] == "perplexity" and not got[1]["keep"]
     assert got[2]["reason"] == "too_short"  # SQL gate wins before the LM gate
+
+
+def test_url_dedup_collapses_all_variants(spark):
+    """Every doc's four messy URL variants normalize to the one expected
+    canonical key (host + path, no scheme/www/query/fragment/slash)."""
+    from scikg_spark.ops.text import q_url_dedup
+
+    rows = q_url_dedup(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert r["n_raw_urls"] == 4
+        assert r["n_canonical"] == 1
+        assert r["canonical_url"] == f"example.org/doc/{r['doc_id']}"
