@@ -128,6 +128,31 @@ def main():
             timings[name] = round(median(), 3)
             timings_min[name] = round(samples[0], 3)
 
+        # Cross-run sanity: an episode spanning ALL reps of one query
+        # inflates median AND min together and evades the in-run ratio
+        # check, so compare this run's min against the best recorded min in
+        # the committed BENCH_r*.json artifacts. A >2x regression is FLAGGED
+        # (informational — a genuine plan change also trips it), so the
+        # artifact carries the signal either way.
+        import glob
+
+        hist_min: dict[str, float] = {}
+        here = os.path.dirname(os.path.abspath(__file__))
+        for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json"))):
+            try:
+                with open(path) as fh:
+                    rec = json.load(fh)
+                for k, v in (rec.get("parsed") or {}).get(
+                        "queries_min", {}).items():
+                    hist_min[k] = min(hist_min.get(k, v), v)
+            except Exception:
+                continue
+        regressed = {
+            name: round(timings_min[name] / hist_min[name], 2)
+            for name in timings_min
+            if name in hist_min and hist_min[name] > 0.5
+            and timings_min[name] > 2.0 * hist_min[name]}
+
         total = round(sum(timings.values()), 3)
         print(json.dumps({
             "metric": "headline_total",
@@ -141,6 +166,7 @@ def main():
             "rows": counts,
             "stall_retries": stall_retries,
             "stall_suspect": stall_suspect,
+            "regressed_vs_history": regressed,
             "triples": counts["kg_pipeline"],
             "triples_per_sec": round(counts["kg_pipeline"] / timings["kg_pipeline"], 1),
         }))
