@@ -82,6 +82,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pii_redact": text.q_pii_redact,
         "q_filter_policy": text.q_filter_policy,
         "q_url_dedup": text.q_url_dedup,
+        # rows-only by nature: zlib exists in neither SQL engine
+        "q_compression_ratio": text.q_compression_ratio,
         # rows-only by nature: LSTM-LM perplexity scoring (CCNet-style) and
         # the LM-gated composite policy; the LM is pinned by
         # tests/test_trained_checkpoints.py and the SQL-expressible policy

@@ -598,3 +598,49 @@ ORACLE["q_url_dedup"] = """
     )
     GROUP BY doc_id
 """
+
+
+# -- compression-ratio quality signal -----------------------------------------
+
+def q_compression_ratio(spark, sf_dir):
+    """Compression-ratio quality signal: zlib-compressed size / raw size per
+    document. Low-entropy boilerplate (repeated templates, navigation soup)
+    compresses far better than natural prose, so real pretraining pipelines
+    use this as a cheap content-quality gate alongside the Gopher rules.
+    Rows-only by nature (no zlib in either SQL engine); one fused Arrow
+    pass, no shuffle beyond the parallelize_scan split guard."""
+    from pyspark.sql.types import (
+        DoubleType, LongType, StructField, StructType)
+
+    from scikg_spark.pipeline.session import parallelize_scan
+
+    docs = parallelize_scan(
+        _docs(spark, sf_dir).filter(F.col("n_chars") > 0)
+        .select("doc_id", "text"))
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("raw_bytes", LongType()),
+        StructField("compressed_bytes", LongType()),
+        StructField("compression_ratio", DoubleType()),
+    ])
+
+    def measure(batches):
+        import zlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            raw = [t.encode("utf-8") for t in pdf["text"]]
+            comp = [len(zlib.compress(b, 6)) for b in raw]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "raw_bytes": [len(b) for b in raw],
+                "compressed_bytes": comp,
+                "compression_ratio": [
+                    round(c / max(len(b), 1), 4)
+                    for b, c in zip(raw, comp)],
+            })
+
+    return docs.mapInPandas(measure, schema)

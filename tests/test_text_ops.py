@@ -262,3 +262,22 @@ def test_url_dedup_collapses_all_variants(spark):
         assert r["n_raw_urls"] == 4
         assert r["n_canonical"] == 1
         assert r["canonical_url"] == f"example.org/doc/{r['doc_id']}"
+
+
+def test_compression_ratio_separates_boilerplate(spark, tmp_path):
+    """Repeated-template text compresses far better than diverse prose; the
+    ratio orders them correctly and the byte accounting is exact."""
+    import zlib
+
+    from scikg_spark.ops.text import q_compression_ratio
+
+    diverse = ("the quick brown fox jumps over a lazy dog while seventeen "
+               "astronomers quietly measured unrelated galactic phenomena")
+    boiler = "click here to subscribe now " * 8
+    out = _write_docs(spark, tmp_path, [diverse, boiler.strip()])
+    got = {r["doc_id"]: r for r in q_compression_ratio(spark, out).collect()}
+    assert got[1]["compression_ratio"] < got[0]["compression_ratio"]
+    for i, text in ((0, diverse), (1, boiler.strip())):
+        assert got[i]["raw_bytes"] == len(text.encode())
+        assert got[i]["compressed_bytes"] == len(
+            zlib.compress(text.encode(), 6))
