@@ -102,6 +102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_train_split": sampling.q_train_split,
         "q_split_stats": sampling.q_split_stats,
         "q_stratified_sample": sampling.q_stratified_sample,
+        "q_group_sample_topk": sampling.q_group_sample_topk,
         # similarity search
         "q_embedding_norms": similarity.q_embedding_norms,
         "q_cosine_topk": similarity.q_cosine_topk,

@@ -112,3 +112,46 @@ ORACLE = {
         FROM documents GROUP BY lang
     """,
 }
+
+
+# fixed-k per-stratum sampling (deterministic reservoir replacement)
+TOPK_SALT = "ksample:"
+SAMPLE_K = 25
+
+
+def q_group_sample_topk(spark, sf_dir, k: int = SAMPLE_K):
+    """Fixed-SIZE deterministic sample: the k docs with the smallest salted
+    hash PER (lang, source) stratum — what reservoir sampling produces, made
+    rerun/engine-stable (ranking by salted md5 is an order-statistics draw
+    without random()). Complements the fixed-FRACTION stratified sample:
+    dataset cards and eval sets want exactly-k examples per slice.
+
+    Scale shape: one window ranking per stratum — strata are the window
+    partition key, so 10^12 rows shuffle once on (lang, source); no global
+    sort, no driver state. Duelled (the ranking is plain SQL)."""
+    from pyspark.sql.window import Window
+
+    u = F.expr(_u16_spark(TOPK_SALT))
+    w = Window.partitionBy("lang", "source").orderBy(
+        F.col("_u").asc(), F.col("doc_id").asc())
+    return (
+        _docs(spark, sf_dir)
+        .withColumn("_u", u)
+        .withColumn("pick", F.row_number().over(w))
+        .filter(F.col("pick") <= k)
+        .select("doc_id", "lang", "source",
+                F.col("pick").cast("long").alias("pick"))
+    )
+
+
+ORACLE["q_group_sample_topk"] = f"""
+    SELECT doc_id, lang, source, CAST(pick AS BIGINT) AS pick
+    FROM (
+        SELECT doc_id, lang, source,
+               row_number() OVER (
+                   PARTITION BY lang, source
+                   ORDER BY {_u16_duck(TOPK_SALT)} ASC, doc_id ASC) AS pick
+        FROM documents
+    )
+    WHERE pick <= {SAMPLE_K}
+"""

@@ -281,3 +281,22 @@ def test_compression_ratio_separates_boilerplate(spark, tmp_path):
         assert got[i]["raw_bytes"] == len(text.encode())
         assert got[i]["compressed_bytes"] == len(
             zlib.compress(text.encode(), 6))
+
+
+def test_group_sample_topk_fixed_size_and_deterministic(spark):
+    """Exactly min(k, stratum size) picks per (lang, source); identical
+    across reruns (order-statistics draw on a salted hash, no random())."""
+    from scikg_spark.ops.sampling import q_group_sample_topk
+
+    sf = "/root/testdata/sf0.01"
+    a = q_group_sample_topk(spark, sf).collect()
+    b = q_group_sample_topk(spark, sf).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    sizes = {}
+    for r in a:
+        sizes.setdefault((r["lang"], r["source"]), []).append(r["pick"])
+    strata = (spark.read.parquet(f"{sf}/documents.parquet")
+              .groupBy("lang", "source").count().collect())
+    for s in strata:
+        picks = sorted(sizes.get((s["lang"], s["source"]), []))
+        assert picks == list(range(1, min(25, s["count"]) + 1))
