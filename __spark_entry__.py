@@ -139,4 +139,9 @@ def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     for module in (relational, text, dedup, sampling, similarity, multimodal, kg):
         out.update(module.ORACLE)
+        # entries that need file IO to render (e.g. the eval-gram parquet)
+        # are deferred to a per-module hook so importing the ops package
+        # never stats or writes anything
+        if hasattr(module, "render_oracle"):
+            out.update(module.render_oracle())
     return out

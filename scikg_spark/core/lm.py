@@ -122,6 +122,15 @@ def load_lm_into(model, path: str):
             raise ValueError(
                 "LM checkpoint was trained over a different word table than "
                 "the model's — set model.word_table to the LM's table")
+    elif model.word_table is not None:
+        # the symmetric mismatch: a pre-round-4 hash-trained LM checkpoint
+        # (no embedded table) installed into a model holding trained word
+        # vectors would run the hash-trained cell over vectors it never saw
+        # — the same garbage-features failure the branch above guards
+        raise ValueError(
+            "LM checkpoint carries no word table (hash-trained) but the "
+            "model has a trained word_table — retrain the LM over the "
+            "table, or clear model.word_table to run the hash path")
     model.lm_cell.w = data["lm_cell.w"].astype(np.float32)
     model.lm_cell.b = data["lm_cell.b"].astype(np.float32)
     return model

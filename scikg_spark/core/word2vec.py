@@ -68,8 +68,13 @@ def train_skipgram(sentences, dim: int = 50, window: int = 5,
     (load_pretrained_word_embeddings.py:47-63; the 50-d pubmed blob is
     Dropbox-only), so this trains the equivalent matrix from the shipped
     corpora: unigram^0.75 negative table, dynamic window (uniform 1..window
-    per center), linear lr decay, minibatched vectorized updates with
-    ``np.add.at`` scatter (duplicate indices accumulate). Returns
+    per center), linear lr decay, minibatched vectorized updates with a
+    duplicate-index-AVERAGING scatter (``_scatter_mean`` — a summed scatter
+    takes lr×count steps at a stale parameter value and diverges on hot
+    words). Negatives colliding with the batch's true context word or its
+    center are resampled (then masked if still colliding) — keeping them
+    biases gradients toward shrinking true-pair scores, and collisions are
+    frequent on small vocabularies. Returns
     ``(vocab_words, input_matrix, per_epoch_mean_loss)`` — rows of
     ``input_matrix`` align with ``vocab_words`` (frequency-descending), ready
     for :func:`write_word2vec_bin`.
@@ -120,13 +125,23 @@ def train_skipgram(sentences, dim: int = 50, window: int = 5,
             idx = order[s0:s0 + batch]
             c, o = pairs[idx, 0], pairs[idx, 1]
             neg = rng.choice(V, size=(len(idx), negatives), p=p_neg)
+            # a drawn negative equal to the pair's true context (or its
+            # center) would push the true pair apart; redraw collisions a
+            # few rounds, then mask survivors out of loss and gradients
+            bad = (neg == o[:, None]) | (neg == c[:, None])
+            for _ in range(8):
+                if not bad.any():
+                    break
+                neg[bad] = rng.choice(V, size=int(bad.sum()), p=p_neg)
+                bad = (neg == o[:, None]) | (neg == c[:, None])
+            keep = (~bad).astype(np.float32)
             v = w_in[c]
             u = w_out[o]
             un = w_out[neg]
             s_pos = _sigm(np.sum(v * u, axis=1))
-            s_neg = _sigm(np.einsum("bd,bkd->bk", v, un))
+            s_neg = _sigm(np.einsum("bd,bkd->bk", v, un)) * keep
             ep_loss -= float(np.log(s_pos + 1e-9).sum()
-                             + np.log(1.0 - s_neg + 1e-9).sum())
+                             + (np.log(1.0 - s_neg + 1e-9) * keep).sum())
             n_pair += len(idx)
             d_v = (s_pos - 1.0)[:, None] * u \
                 + np.einsum("bk,bkd->bd", s_neg, un)

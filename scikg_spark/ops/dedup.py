@@ -452,7 +452,11 @@ ORACLE["q_contamination"] = f"""
 
 _REPO_ROOT = os.path.dirname(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-_EVAL_TSV = "/root/reference/data/stmts-eval.tsv"
+# overridable so the library runs on layouts without the reference checkout
+# (the committed checkpoints/eval_grams parquet then serves as the shipped
+# benchmark-gram artifact)
+_EVAL_TSV = os.environ.get("SPARK_GRAFT_EVAL_TSV",
+                           "/root/reference/data/stmts-eval.tsv")
 _EVAL_GRAMS_DIR = os.path.join(_REPO_ROOT, "checkpoints", "eval_grams")
 
 
@@ -464,9 +468,21 @@ def eval_gram_table(tsv_path: str = _EVAL_TSV,
     corpus grams (md5 15-hex-digit prefix as bigint), so it equi-joins
     against the corpus gram table on either engine. Fingerprinted by the
     TSV stamp; DuckDB mirrors read the same file. At production scale this
-    table is tiny (benchmarks are KBs-MBs) and broadcasts."""
+    table is tiny (benchmarks are KBs-MBs) and broadcasts.
+
+    When the source TSV is unavailable (no reference checkout) or the
+    checkpoint tree is read-only, the previously-materialized parquet is
+    served as the shipped artifact — freshness can't be re-verified without
+    the source, and a benchmark-gram table is immutable in practice anyway."""
     import pandas as pd
 
+    pq_path_shipped = os.path.join(out_dir, "grams.parquet")
+    if not os.path.isfile(tsv_path):
+        if os.path.isfile(pq_path_shipped):
+            return pq_path_shipped
+        raise FileNotFoundError(
+            f"benchmark TSV {tsv_path!r} missing and no materialized "
+            f"gram table at {pq_path_shipped!r}")
     st = os.stat(tsv_path)
     fp = f"v1:{tsv_path}:{st.st_size}:{st.st_mtime_ns}"
     fp_path = os.path.join(out_dir, "FINGERPRINT")
@@ -555,4 +571,15 @@ def _contamination_eval_oracle() -> str:
 """
 
 
-ORACLE["q_contamination_eval"] = _contamination_eval_oracle()
+def render_oracle() -> dict[str, str]:
+    """Oracle entries whose rendering needs file IO (the eval-gram parquet
+    must exist on disk before the SQL string can reference it). Called
+    lazily by ``__spark_entry__.oracle_sql()`` / the parity harness — never
+    at import time, so importing this module neither stats the reference
+    checkout nor writes checkpoints (ADVICE r4, medium)."""
+    try:
+        return {"q_contamination_eval": _contamination_eval_oracle()}
+    except FileNotFoundError:
+        # no reference checkout and no shipped gram table: the query can't
+        # run either, so omitting its mirror is the consistent degradation
+        return {}

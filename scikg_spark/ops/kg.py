@@ -35,7 +35,10 @@ _LINK_CACHE: dict[tuple, object] = {}
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 _MAT_ROOT = os.path.join(_REPO_ROOT, "checkpoints", "kg_materialized")
-_TESTDATA_ROOT = "/root/testdata"
+# canonical-corpus root: children of this dir materialize into the repo's
+# committed checkpoints tree (anything else routes to a tmp slot). Env-var
+# overridable so another layout still hits the shipped snapshots (ADVICE r4).
+_TESTDATA_ROOT = os.environ.get("SPARK_GRAFT_TESTDATA_ROOT", "/root/testdata")
 
 # phrase_map row-count threshold below which the entity-attach join
 # broadcasts the map (hash join, no shuffle of the big tuples side); above

@@ -146,3 +146,21 @@ class TestSkipgramTrainer:
 
         vocab, mat, losses = train_skipgram([], dim=8, epochs=2)
         assert vocab == [] and len(mat) == 0 and losses == []
+
+    def test_tiny_vocab_negative_collisions_masked(self):
+        """ADVICE r5: on a 2-word vocabulary every negative draw collides
+        with the true context or the center ~always — resample+mask must
+        keep training stable (finite, loss still falls) instead of letting
+        the collided negatives push every true pair apart."""
+        import numpy as np
+
+        from scikg_spark.core.word2vec import train_skipgram
+
+        sents = [["hot", "cold"]] * 200
+        vocab, mat, losses = train_skipgram(
+            sents, dim=8, window=1, negatives=5, epochs=30, seed=11)
+        assert set(vocab) == {"hot", "cold"}
+        assert np.isfinite(mat).all()
+        # with all negatives masked the objective is pure positive-pair
+        # attraction; it must improve, not thrash
+        assert losses[-1] < losses[0]

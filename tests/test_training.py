@@ -512,3 +512,27 @@ class TestLanguageModel:
         import pytest as _pytest
         with _pytest.raises(ValueError, match="use_lm"):
             load_lm_into(MimoTagger(use_lm=False), path)
+
+    def test_tableless_checkpoint_refuses_trained_table(self, tmp_path):
+        """ADVICE r5: the symmetric table-consistency guard — a checkpoint
+        with NO embedded word table (pre-round-4 hash-trained format) must
+        not silently install into a model holding trained word vectors."""
+        import pytest as _pytest
+
+        from scikg_spark.core.lm import (
+            LanguageModel, build_vocab, load_lm_into)
+        from scikg_spark.core.neural import LM_DIM, WORD_DIM, MimoTagger
+
+        lm = LanguageModel(build_vocab(self.SENTS), seed=7,
+                           in_dim=WORD_DIM, hidden=LM_DIM)
+        path = str(tmp_path / "lm_notable.npz")
+        lm.save(path)  # word_table is None -> no table in the npz
+
+        model = MimoTagger(seed=1, use_lm=True, use_pos=False, use_cap=False)
+        model.word_table = (np.zeros((3, WORD_DIM), dtype=np.float32),
+                            {"a": 0, "b": 1, "c": 2})
+        with _pytest.raises(ValueError, match="no word table"):
+            load_lm_into(model, path)
+        # and the hash-path install still works once the table is cleared
+        model.word_table = None
+        load_lm_into(model, path)
