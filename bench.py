@@ -59,9 +59,13 @@ def main():
     spark = get_spark(app_name="scikg-bench", cores=cores,
                       shuffle_partitions=16)
     queries = {
-        "kg_pipeline": kg.kg_triples,
+        # prefer_snapshot=False: these two rows time the LIVE extraction /
+        # linking passes — never the fingerprint-fresh snapshot read the
+        # driver-contract queries may serve (kg.py fast path, round 5)
+        "kg_pipeline": lambda s, d: kg.kg_triples(s, d, prefer_snapshot=False),
         "kg_top_facts": kg.kg_top_facts,
-        "kg_entity_nodes": kg.kg_entity_nodes,
+        "kg_entity_nodes": lambda s, d: kg.kg_entity_nodes(
+            s, d, prefer_snapshot=False),
         "dedup_exact": dedup.q_dedup_exact,
         "dedup_minhash": dedup.q_minhash_dup_pairs,
         "dedup_ngram_jaccard": dedup.q_ngram_jaccard_pairs,
