@@ -29,6 +29,21 @@ def url_for(doc_id) -> str:
     return f"https://example.org/doc/{doc_id}"
 
 
+def fetch_urls_for(doc_id) -> list[str]:
+    """RAW urls under which the synthetic crawl fetched this page — real
+    crawls see one page under scheme / case / www. / tracking-query /
+    fragment / trailing-slash variants across snapshots; :func:`url_for` is
+    the canonical form a URL-dedup stage must recover from every variant.
+    Python mirror of the JVM-side ``stage1.build_fetch_log`` construction
+    (tests pin them equal row-for-row)."""
+    return [
+        f"https://example.org/doc/{doc_id}",
+        f"http://EXAMPLE.org/doc/{doc_id}/",
+        f"https://www.example.org/doc/{doc_id}?utm_source=feed",
+        f"https://example.org/doc/{doc_id}#section-2",
+    ]
+
+
 def warc_ts_for(doc_id) -> datetime.datetime:
     h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16)
     return _EPOCH + datetime.timedelta(seconds=h % (365 * 24 * 3600))

@@ -414,3 +414,43 @@ ORACLE["q_ann_ivf_topk"] = f"""
     SELECT q_id, n_id, rank, round(cos, 4) AS cos_r
     FROM ranked WHERE rank <= {TOP_K}
 """
+
+
+def q_ann_recall(spark, sf_dir, n_query: int = N_QUERY, k: int = TOP_K,
+                 n_cent: int = IVF_N_CENT, n_probe: int = IVF_N_PROBE):
+    """Measured recall@k of the IVF ANN path against the EXACT cosine top-k
+    on the same embeddings — the quality dial a real pipeline tunes nprobe /
+    centroid count against (approximate retrieval without a measured recall
+    is a guess). Per query: how many of the true top-k the ANN list found.
+
+    Composition of two already-duelled queries joined on (q_id, n_id) — an
+    equi-join of two k*n_query-row frames, so the recall harness itself
+    costs nothing at any scale. Fully SQL-expressible (the oracle composes
+    the same two mirrors), so the recall NUMBER duels, not just the lists.
+    """
+    exact = q_cosine_topk(spark, sf_dir, n_query, k).select("q_id", "n_id")
+    ann = q_ann_ivf_topk(spark, sf_dir, n_query, k, n_cent, n_probe).select(
+        F.col("q_id").alias("a_q_id"), F.col("n_id").alias("a_n_id"))
+    hits = exact.join(
+        ann, (F.col("q_id") == F.col("a_q_id"))
+        & (F.col("n_id") == F.col("a_n_id")), "left")
+    return (
+        hits.groupBy("q_id")
+        .agg(F.count("*").alias("n_exact"),
+             F.count("a_n_id").alias("n_hits"))
+        .withColumn("recall", F.round(
+            F.col("n_hits").cast("double") / F.col("n_exact"), 4))
+    )
+
+
+ORACLE["q_ann_recall"] = f"""
+    WITH exact AS ({ORACLE["q_cosine_topk"]}),
+         ann AS ({ORACLE["q_ann_ivf_topk"]})
+    SELECT e.q_id,
+           count(*) AS n_exact,
+           count(a.n_id) AS n_hits,
+           round(CAST(count(a.n_id) AS DOUBLE) / count(*), 4) AS recall
+    FROM exact e
+    LEFT JOIN ann a ON e.q_id = a.q_id AND e.n_id = a.n_id
+    GROUP BY e.q_id
+"""

@@ -539,26 +539,19 @@ def q_url_dedup(spark, sf_dir):
     """URL canonicalization + dedup — the FIRST dedup a Common-Crawl-style
     pipeline runs (before any text hashing): scheme / case / www. /
     tracking-query / fragment / trailing-slash variants of the same page
-    must collapse to one canonical key. The corpus's synthesized page URL
-    (``synth.url_for``: https://example.org/doc/<id>) is deterministically
-    exploded into four messy variants per doc, normalized with anchored
-    regexes (one replacement each — Spark's replace-all and DuckDB's
-    replace-first then agree), and grouped back; fully duelled, and a
+    must collapse to one canonical key. Scans the corpus FETCH LOG's url
+    column (``stage1.build_fetch_log`` — the synthetic crawl's raw-url
+    table, pinned equal to ``synth.fetch_urls_for``; the driver's read-only
+    ``documents`` table carries no url column, so the url surface lives in
+    the synth layer like html/warc_ts do), normalizes with anchored regexes
+    (one replacement each — Spark's replace-all and DuckDB's replace-first
+    then agree), and groups back to the canonical key; fully duelled, and a
     fixture pins that every variant set collapses to exactly the expected
     canonical. Map-side string ops + one groupBy — no Python, scales as a
     scan."""
-    base = F.concat(F.lit("https://example.org/doc/"),
-                    F.col("doc_id").cast("string"))
-    variants = F.array(
-        base,
-        F.concat(F.lit("http://EXAMPLE.org/doc/"),
-                 F.col("doc_id").cast("string"), F.lit("/")),
-        F.concat(F.lit("https://www.example.org/doc/"),
-                 F.col("doc_id").cast("string"), F.lit("?utm_source=feed")),
-        F.concat(base, F.lit("#section-2")),
-    )
-    raw = _docs(spark, sf_dir).select(
-        "doc_id", F.explode(variants).alias("url"))
+    from scikg_spark.pipeline.stage1 import build_fetch_log
+
+    raw = build_fetch_log(_docs(spark, sf_dir))
     canon = F.col("url")
     for pat in ("#.*$", r"\?.*$", "^https?://", r"^www\.", "/$"):
         canon = F.regexp_replace(canon, pat, "")

@@ -49,6 +49,28 @@ def build_pages_from_documents(documents: DataFrame, lang: str | None = None) ->
     return cols.mapInPandas(gen, schema=PAGES_SCHEMA)
 
 
+def build_fetch_log(documents: DataFrame) -> DataFrame:
+    """The synthetic crawl's FETCH LOG: one row per (raw url, doc) fetch —
+    the table a Common-Crawl-style URL-dedup stage actually scans (the same
+    page appears under scheme / case / www. / tracking / fragment / slash
+    variants across crawl snapshots; the pages table keys on the canonical
+    form). Pure JVM string construction (no Python), kept row-for-row equal
+    to :func:`scikg_spark.core.synth.fetch_urls_for` by a pinning test.
+    Schema: (url string, doc_id)."""
+    base = F.concat(F.lit("https://example.org/doc/"),
+                    F.col("doc_id").cast("string"))
+    variants = F.array(
+        base,
+        F.concat(F.lit("http://EXAMPLE.org/doc/"),
+                 F.col("doc_id").cast("string"), F.lit("/")),
+        F.concat(F.lit("https://www.example.org/doc/"),
+                 F.col("doc_id").cast("string"), F.lit("?utm_source=feed")),
+        F.concat(base, F.lit("#section-2")),
+    )
+    return documents.select(
+        F.explode(variants).alias("url"), "doc_id")
+
+
 def extract_statements(pages: DataFrame, lang: str | None = "en") -> DataFrame:
     """pages -> one row per statement with aligned token arrays."""
     if lang is not None:

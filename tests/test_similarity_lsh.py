@@ -73,3 +73,24 @@ def test_lsh_raises_on_overwide_embedding(spark, tmp_path):
     ).write.parquet(f"{out}/embeddings.parquet")
     with pytest.raises(SparkRuntimeException, match="dim"):
         q_ann_lsh_buckets(spark, out).count()
+
+
+def test_ann_recall_monotone_in_probes(spark):
+    """q_ann_recall is the tuning dial: fewer probed centroids must lower
+    measured recall, and probing every centroid recovers the exact top-k
+    (recall 1.0 per query) — the candidate set then covers the table."""
+    from scikg_spark.ops.similarity import IVF_N_CENT, q_ann_recall
+
+    sf = "/root/testdata/sf0.001"
+
+    def mean_recall(probe):
+        rows = q_ann_recall(spark, sf, n_probe=probe).collect()
+        assert rows
+        return sum(r["recall"] for r in rows) / len(rows)
+
+    r1, r2, r_all = (mean_recall(p) for p in (1, 2, IVF_N_CENT))
+    assert r_all == 1.0
+    assert r1 < r2 < r_all  # measured on this corpus: ~0.28 / ~0.52 / 1.0
+    # bookkeeping invariants: n_exact is k, hits never exceed it
+    for r in q_ann_recall(spark, sf).collect():
+        assert 0 <= r["n_hits"] <= r["n_exact"]

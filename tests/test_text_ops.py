@@ -264,6 +264,24 @@ def test_url_dedup_collapses_all_variants(spark):
         assert r["canonical_url"] == f"example.org/doc/{r['doc_id']}"
 
 
+def test_fetch_log_matches_synth_surface(spark):
+    """The JVM-side fetch-log construction is row-for-row the synth layer's
+    fetch_urls_for (the corpus's raw-url surface), and its canonicalization
+    target is url_for."""
+    from scikg_spark.core.synth import fetch_urls_for, url_for
+    from scikg_spark.pipeline.stage1 import build_fetch_log
+
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id").limit(20))
+    got = {}
+    for r in build_fetch_log(docs).collect():
+        got.setdefault(r["doc_id"], []).append(r["url"])
+    assert got
+    for doc_id, urls in got.items():
+        assert urls == fetch_urls_for(doc_id)
+        assert url_for(doc_id) in urls  # canonical form is itself a fetch
+
+
 def test_compression_ratio_separates_boilerplate(spark, tmp_path):
     """Repeated-template text compresses far better than diverse prose; the
     ratio orders them correctly and the byte accounting is exact."""
