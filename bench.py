@@ -75,6 +75,9 @@ def main():
         "text_quality": text.q_quality,
         "text_repetition": text.q_repetition_stats,
         "text_lm_ppl": text.q_lm_perplexity,
+        # the most production-shaped single query in the repo: Gopher-style
+        # rule gates -> contamination -> trained-LM perplexity gate
+        "text_filter_policy_lm": text.q_filter_policy_lm,
         "rel_pricing_summary": relational.q_pricing_summary,
         "rel_top_customer": relational.q_top_customer_revenue,
     }
