@@ -284,11 +284,48 @@ def _mat_dir(sf_dir: str) -> str:
                         f"{base}-{tag}")
 
 
+# (path, stat-stamp) -> content md5. The stat stamp (size+mtime_ns) gates
+# re-hashing, so the bytes are read at most once per corpus version per
+# process; the corpus parquet is KB-MB at duel scale so a re-hash is ms.
+_CONTENT_CACHE: dict[tuple, str] = {}
+
+
+def _src_content_hash(sf_dir: str) -> str:
+    """md5 over the corpus parquet BYTES (per file, sorted by name).
+
+    The on-disk materialization fingerprint keys on CONTENT, not stat: a
+    regenerated-but-byte-identical corpus (fresh clone, driver re-running
+    its deterministic generator — new mtimes, same bytes) must still hit
+    the committed snapshots, while any real rewrite — including same-size
+    same-second ones — re-materializes. In-session caches keep the cheap
+    stat stamp (``_src_stamp``) as their key; this hash is memoized per
+    stat stamp so it is computed once per corpus version per process."""
+    stamp = _src_stamp(sf_dir)
+    key = (os.path.abspath(sf_dir), stamp)
+    cached = _CONTENT_CACHE.get(key)
+    if cached is not None:
+        return cached
+    path = os.path.join(sf_dir, "documents.parquet")
+    files = ([os.path.join(path, n) for n in sorted(os.listdir(path))
+              if os.path.isfile(os.path.join(path, n))]
+             if os.path.isdir(path) else [path])
+    h = hashlib.md5()
+    for p in files:
+        h.update(os.path.basename(p).encode())
+        with open(p, "rb") as fh:
+            for chunk in iter(lambda: fh.read(1 << 20), b""):
+                h.update(chunk)
+    digest = h.hexdigest()
+    _CONTENT_CACHE[key] = digest
+    return digest
+
+
 def _fingerprint(sf_dir: str) -> str:
-    # "v3": snapshot format version — bumping it re-materializes dirs written
+    # "v4": snapshot format version — bumping it re-materializes dirs written
     # by older code (v2 added nodes_syn; v3 added the plain nodes table so
-    # kg_entity_nodes can serve from the snapshot)
-    return hashlib.md5(("v3" + repr(_src_stamp(sf_dir))).encode()).hexdigest()
+    # kg_entity_nodes can serve from the snapshot; v4 keys on corpus CONTENT
+    # instead of stat, so regenerated-identical testdata stays fresh)
+    return hashlib.md5(("v4" + _src_content_hash(sf_dir)).encode()).hexdigest()
 
 
 def _snapshot_if_fresh(sf_dir: str, table: str) -> str | None:

@@ -320,3 +320,33 @@ def test_snapshot_fastpath_matches_live_extraction(spark):
         plan = fast._jdf.queryExecution().executedPlan().toString()
         assert "MapInPandas" not in plan and "Python" not in plan
         assert "FileScan parquet" in plan
+
+
+def test_fingerprint_keys_on_content_not_stat(spark, corpus_dir):
+    """Round 5: a regenerated-but-byte-identical corpus (new mtime, same
+    bytes — a fresh clone or the driver re-running its deterministic
+    generator) must NOT invalidate the materialized snapshot; a real byte
+    rewrite must."""
+    import time as _time
+
+    from scikg_spark.ops import kg
+
+    out = kg.materialize_kg_tables(spark, corpus_dir)
+    fp1 = kg._fingerprint(corpus_dir)
+
+    path = os.path.join(corpus_dir, "documents.parquet")
+    with open(path, "rb") as fh:
+        data = fh.read()
+    os.remove(path)
+    with open(path, "wb") as fh:
+        fh.write(data)
+    os.utime(path, (
+        _time.time() + 10, _time.time() + 10))  # same bytes, new stat
+    assert kg._fingerprint(corpus_dir) == fp1
+    mtime1 = os.path.getmtime(os.path.join(out, "FINGERPRINT"))
+    assert kg.materialize_kg_tables(spark, corpus_dir) == out
+    assert os.path.getmtime(os.path.join(out, "FINGERPRINT")) == mtime1
+
+    _rewrite_half(spark, corpus_dir)  # real rewrite -> new fingerprint
+    assert kg._fingerprint(corpus_dir) != fp1
+    shutil.rmtree(out)
