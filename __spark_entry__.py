@@ -19,18 +19,26 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+_SHIPPED_APPS: set[str] = set()
+
+
 def _repo_on_executors(spark: SparkSession) -> None:
     # driver-created sessions don't run through scikg's get_spark(); make the
-    # package importable inside Python workers regardless
+    # package importable inside Python workers regardless. Once per
+    # application — the sweep calls this per query, and re-zipping the
+    # package 59 times would waste a chunk of the driver's budget.
     root = os.path.dirname(os.path.abspath(__file__))
     current = os.environ.get("PYTHONPATH", "")
     if root not in current.split(os.pathsep):
         os.environ["PYTHONPATH"] = root + (os.pathsep + current if current else "")
     try:
-        spark.sparkContext.addPyFile  # probe
+        app = spark.sparkContext.applicationId
+        if app in _SHIPPED_APPS:
+            return
         from scikg_spark.jobs.package import build_zip
 
         spark.sparkContext.addPyFile(build_zip())
+        _SHIPPED_APPS.add(app)
     except Exception:
         pass
 
