@@ -696,8 +696,13 @@ def kg_pagerank(spark, sf_dir, iterations: int = _PR_ITERATIONS,
 
     Scale shape: the per-iteration step is one equi-join + one aggregation
     (identical to the CC round shape); the rank frame localCheckpoints per
-    round so plans stay flat. At 10^12-doc entity counts you'd pre-partition
-    edges and ranks on the join key once and reuse the exchange."""
+    round so plans stay flat. The partitioning is REUSED across rounds for
+    free: ``wedges`` leaves its build join hash-partitioned on ``src``,
+    ``nodes``/``rank`` leave distinct/join hash-partitioned on ``id``, and
+    ``localCheckpoint`` preserves both — so each iteration's plan contains
+    exactly ONE exchange, the inherent rank-mass transpose onto ``dst``
+    (pinned by ``test_pagerank_iteration_single_exchange`` with broadcast
+    disabled, the at-scale join mode)."""
     edges = _materialized(spark, sf_dir, "edges")
     pairs = (
         edges.filter(F.col("subj_entity").isNotNull()

@@ -350,3 +350,47 @@ def test_fingerprint_keys_on_content_not_stat(spark, corpus_dir):
     _rewrite_half(spark, corpus_dir)  # real rewrite -> new fingerprint
     assert kg._fingerprint(corpus_dir) != fp1
     shutil.rmtree(out)
+
+
+def test_pagerank_iteration_single_exchange(spark):
+    """The PageRank round is shuffle-minimal BY SHAPE, not by luck: wedges
+    keep their build join's hash partitioning on src, nodes/rank keep
+    distinct/join partitioning on id, localCheckpoint preserves both — so
+    with broadcast disabled (the at-scale join mode for a 10^12-entity
+    rank table) ONE iteration plans exactly ONE exchange: the inherent
+    rank-mass transpose onto dst."""
+    from pyspark.sql import functions as F
+
+    from scikg_spark.ops import kg
+
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        edges = kg._materialized(spark, "/root/testdata/sf0.001", "edges")
+        pairs = (
+            edges.filter(F.col("subj_entity").isNotNull()
+                         & F.col("obj_entity").isNotNull())
+            .select(F.col("subj_entity").alias("src"),
+                    F.col("obj_entity").alias("dst"))
+            .filter(F.col("src") != F.col("dst")).distinct())
+        outdeg = pairs.groupBy("src").agg(F.count("*").alias("outdeg"))
+        wedges = pairs.join(outdeg, "src").localCheckpoint()
+        nodes = (pairs.select(F.col("src").alias("id"))
+                 .union(pairs.select(F.col("dst").alias("id")))
+                 .distinct().localCheckpoint())
+        rank = nodes.select("id", F.lit(0.01).alias("rank"))
+        contrib = (wedges.join(rank, wedges["src"] == rank["id"])
+                   .groupBy(F.col("dst").alias("cid"))
+                   .agg(F.sum(F.col("rank") / F.col("outdeg")).alias("c")))
+        step = (nodes.join(contrib, nodes["id"] == contrib["cid"], "left")
+                .select("id", F.coalesce("c", F.lit(0.0)).alias("rank")))
+        plan = step._jdf.queryExecution().executedPlan().toString()
+        n_exchange = sum("Exchange hashpartitioning" in l
+                         for l in plan.splitlines())
+        assert n_exchange == 1, plan
+        assert "hashpartitioning(dst" in plan  # and it IS the transpose
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
