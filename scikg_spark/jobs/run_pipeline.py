@@ -37,6 +37,13 @@ def main(argv=None):
                              "neural/ensemble (default: the committed "
                              "ensemble_111/bptt_best_single)")
     parser.add_argument("--lang", default="en")
+    parser.add_argument("--incremental", action="store_true",
+                        help="treat --pages/--documents as a NEW batch "
+                             "against an existing --out warehouse: stages "
+                             "1-2 run on the delta only, statements/tuples "
+                             "append as new snapshots, linking re-runs over "
+                             "the union's mention vocabulary (the 'next "
+                             "crawl snapshot arrived' catch-up shape)")
     parser.add_argument("--no-lsh", action="store_true")
     parser.add_argument("--no-resume", action="store_true")
     parser.add_argument("--cores", type=int, default=None)
@@ -50,7 +57,8 @@ def main(argv=None):
     from scikg_spark.pipeline.session import get_spark
     from scikg_spark.pipeline.stage1 import build_pages_from_documents
     from scikg_spark.pipeline.stage4 import SnapshotCatalog
-    from scikg_spark.pipeline.runner import run_pipeline
+    from scikg_spark.pipeline.runner import (
+        run_pipeline, run_pipeline_incremental)
 
     weights = args.weights
     if args.tagger in ("neural", "ensemble") and not weights:
@@ -68,19 +76,33 @@ def main(argv=None):
             docs = spark.read.parquet(f"{args.documents}/documents.parquet")
             pages = build_pages_from_documents(docs)
         catalog = SnapshotCatalog(spark, args.out)
-        tables = run_pipeline(
-            spark, pages,
-            catalog=catalog,
-            tagger=args.tagger,
-            weights_path=weights,
-            lang=args.lang,
-            use_lsh=not args.no_lsh,
-            resume=not args.no_resume,
-            corrections={"use_tc": args.tc, "use_del": args.del_, "use_sh": args.sh},
-        )
+        corrections = {"use_tc": args.tc, "use_del": args.del_, "use_sh": args.sh}
+        extra = {}
+        if args.incremental:
+            report = run_pipeline_incremental(
+                spark, pages,
+                catalog=catalog,
+                tagger=args.tagger,
+                weights_path=weights,
+                lang=args.lang,
+                use_lsh=not args.no_lsh,
+                corrections=corrections,
+            )
+            extra = {k: v for k, v in report.items() if k != "tables"}
+        else:
+            run_pipeline(
+                spark, pages,
+                catalog=catalog,
+                tagger=args.tagger,
+                weights_path=weights,
+                lang=args.lang,
+                use_lsh=not args.no_lsh,
+                resume=not args.no_resume,
+                corrections=corrections,
+            )
         summary = {name: catalog.manifest(name)["rows"]
                    for name in ("statements", "tuples", "entity_nodes", "edges")}
-        print(json.dumps({"status": "ok", "tables": summary}))
+        print(json.dumps({"status": "ok", "tables": summary, **extra}))
     finally:
         spark.stop()
 

@@ -107,3 +107,53 @@ def test_rollback_under_resumed_runner(spark, tmp_path, monkeypatch):
         records = [json.loads(line) for line in fh]
     tail = {r["stage"]: r for r in records}  # last record per stage wins
     assert all(tail[t]["resumed"] for t in tables), tail
+
+
+def test_incremental_matches_full_recompute(spark, tmp_path):
+    """run_pipeline_incremental: stage 1-2 run on the DELTA only, linking
+    re-runs over the union (global canonicalization), and the final tables
+    must equal a full run over the combined corpus exactly. The tuples
+    changelog between the two snapshots must be exactly the new batch's
+    tuples (no removals — append-only growth)."""
+    from scikg_spark.pipeline.runner import (
+        run_pipeline, run_pipeline_incremental)
+    from scikg_spark.pipeline.stage1 import build_pages_from_documents
+    from scikg_spark.pipeline.stage4 import SnapshotCatalog
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pages_a = build_pages_from_documents(
+        docs.filter("doc_id < 60")).localCheckpoint()
+    pages_b = build_pages_from_documents(
+        docs.filter("doc_id >= 60 AND doc_id < 100")).localCheckpoint()
+    pages_all = build_pages_from_documents(
+        docs.filter("doc_id < 100")).localCheckpoint()
+
+    inc = SnapshotCatalog(spark, str(tmp_path / "inc"))
+    run_pipeline(spark, pages_a, catalog=inc)
+    snap_before = inc.history("tuples")[-1]["snapshot_id"]
+    report = run_pipeline_incremental(spark, pages_b, inc)
+    assert report["new_tuples"] > 0 and report["new_statements"] > 0
+
+    full = SnapshotCatalog(spark, str(tmp_path / "full"))
+    run_pipeline(spark, pages_all, catalog=full)
+
+    def multiset(df, cols):
+        return sorted(map(tuple, df.select(*cols).collect()))
+
+    flat = ("url", "doc_id", "stmt_id", "kind", "subj", "pred", "obj")
+    for table, cols in (
+            ("tuples", flat),
+            ("edges", flat + ("subj_entity", "obj_entity")),
+            ("entity_map", ("phrase", "entity_id"))):
+        assert multiset(inc.read(table), cols) == \
+            multiset(full.read(table), cols), table
+
+    # the changelog hands downstream consumers exactly the delta
+    added, removed = inc.incremental_read("tuples", snap_before)
+    assert removed.count() == 0
+    assert added.count() == report["new_tuples"]
+    b_docs = {r["doc_id"] for r in pages_b.select(
+        F.expr("cast(regexp_extract(url, '([0-9]+)$', 1) as bigint)")
+        .alias("doc_id")).collect()}
+    assert {int(r["doc_id"]) for r in
+            added.select("doc_id").distinct().collect()} <= b_docs
