@@ -157,3 +157,31 @@ def test_incremental_matches_full_recompute(spark, tmp_path):
         .alias("doc_id")).collect()}
     assert {int(r["doc_id"]) for r in
             added.select("doc_id").distinct().collect()} <= b_docs
+
+
+def test_incremental_rerun_is_idempotent(spark, tmp_path):
+    """Crash-retry safety: re-submitting the SAME batch must not
+    double-append — already-warehoused urls are anti-joined out before
+    extraction, so the rerun is a no-op on every table."""
+    from scikg_spark.pipeline.runner import (
+        run_pipeline, run_pipeline_incremental)
+    from scikg_spark.pipeline.stage1 import build_pages_from_documents
+    from scikg_spark.pipeline.stage4 import SnapshotCatalog
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pages_a = build_pages_from_documents(
+        docs.filter("doc_id < 40")).localCheckpoint()
+    pages_b = build_pages_from_documents(
+        docs.filter("doc_id >= 40 AND doc_id < 60")).localCheckpoint()
+
+    cat = SnapshotCatalog(spark, str(tmp_path / "wh"))
+    run_pipeline(spark, pages_a, catalog=cat)
+    first = run_pipeline_incremental(spark, pages_b, cat)
+    assert first["new_tuples"] > 0
+    rows_after = {t: cat.manifest(t)["rows"]
+                  for t in ("statements", "tuples", "edges")}
+
+    again = run_pipeline_incremental(spark, pages_b, cat)  # same batch
+    assert again["new_statements"] == 0 and again["new_tuples"] == 0
+    assert {t: cat.manifest(t)["rows"]
+            for t in ("statements", "tuples", "edges")} == rows_after
