@@ -394,3 +394,33 @@ def test_pagerank_iteration_single_exchange(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
         spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+
+
+def test_triangle_counts_match_bruteforce_on_random_graphs(spark):
+    """Property check: with the cap above every degree, _triangle_counts
+    equals a pure-Python brute force (per-vertex membership counts over all
+    C(n,3) vertex triples) on random graphs — edges canonicalized, dupes
+    and self-loops dropped upstream, each triangle counted exactly once."""
+    import itertools
+    import random
+
+    from scikg_spark.ops.kg import _triangle_counts
+
+    rng = random.Random(20250817)
+    for trial in range(6):
+        n = rng.randint(4, 12)
+        density = rng.choice((0.25, 0.5, 0.8))
+        edges = sorted({(a, b) for a in range(n) for b in range(a + 1, n)
+                        if rng.random() < density})
+        if not edges:
+            continue
+        und = spark.createDataFrame(edges, "lo long, hi long")
+        got = {r["entity_id"]: r["n_triangles"] for r in
+               _triangle_counts(und, top_k=1000, max_adj=10_000).collect()}
+        eset = set(edges)
+        want = {}
+        for a, b, c in itertools.combinations(range(n), 3):
+            if {(a, b), (a, c), (b, c)} <= eset:
+                for v in (a, b, c):
+                    want[v] = want.get(v, 0) + 1
+        assert got == want, (trial, edges)
