@@ -160,10 +160,36 @@ def main():
             if name in hist_min and hist_min[name] > 0.5
             and timings_min[name] > 2.0 * hist_min[name]}
 
+        # host-weather calibration: this VM's CPU drifts 2-5x with host
+        # neighbors in multi-minute episodes, so the committed artifact
+        # carries a pure-Python burn throughput measured right after the
+        # timed region — cross-round totals should be read against it
+        # (e.g. r4 vs r5: a 1.3x slower total at a 1.3x slower burn is the
+        # box, not the plan)
+        from scikg_spark.jobs.bench_scaling import hardware_ceiling
+
+        host_miters = round(hardware_ceiling(cores, chunks=max(cores, 8),
+                                             iters=2_000_000), 1)
+        # the int burn sees CPU frequency/steal but not memory-bandwidth
+        # pressure; the BLAS-bound rows (LM scoring, vector math) need a
+        # gemm calibration too (round-5 finding: int ceilings stable while
+        # BLAS rows ran 1.5-2x slower under a bandwidth-hungry neighbor)
+        import numpy as _np
+
+        _a = _np.zeros((512, 512), dtype=_np.float32) + 0.5
+        _t0 = time.time()
+        _n = 0
+        while time.time() - _t0 < 0.5:
+            _a @ _a
+            _n += 1
+        host_gflops = round(_n * 2 * 512 ** 3 / 1e9 / (time.time() - _t0), 1)
+
         total = round(sum(timings.values()), 3)
         print(json.dumps({
             "metric": "headline_total",
             "value": total,
+            "host_miters_per_sec": host_miters,
+            "host_gemm_gflops": host_gflops,
             "unit": "sec",
             "sf": sf,
             "cores": cores,
