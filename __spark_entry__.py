@@ -126,6 +126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_lsh_buckets": similarity.q_ann_lsh_buckets,
         "q_ann_ivf_topk": similarity.q_ann_ivf_topk,
         "q_ann_recall": similarity.q_ann_recall,
+        "q_ann_lsh_recall": similarity.q_ann_lsh_recall,
         "q_embedding_neardup": similarity.q_embedding_neardup,
         # multimodal plumbing (decode stubbed behind a deterministic fake
         # container; rows-only)

@@ -338,10 +338,11 @@ ORACLE = {
 }
 
 
-def _duck_plane_dot(p: int) -> str:
+def _duck_plane_dot(p: int, prefix: str = "") -> str:
     """DuckDB dot of ``embedding`` with plane ``p`` — THE SAME literal
-    weights as the Spark side (generated by the same Python)."""
-    w = ", ".join(repr(v) for v in _plane_weights(p))
+    weights as the Spark side (generated by the same Python); ``prefix``
+    selects a hash table's plane family exactly like ``_plane_weights``."""
+    w = ", ".join(repr(v) for v in _plane_weights(p, prefix))
     return (f"list_dot_product(list_transform(embedding, "
             f"x -> CAST(x AS DOUBLE)), ([{w}])[1:len(embedding)])")
 
@@ -416,21 +417,13 @@ ORACLE["q_ann_ivf_topk"] = f"""
 """
 
 
-def q_ann_recall(spark, sf_dir, n_query: int = N_QUERY, k: int = TOP_K,
-                 n_cent: int = IVF_N_CENT, n_probe: int = IVF_N_PROBE):
-    """Measured recall@k of the IVF ANN path against the EXACT cosine top-k
-    on the same embeddings — the quality dial a real pipeline tunes nprobe /
-    centroid count against (approximate retrieval without a measured recall
-    is a guess). Per query: how many of the true top-k the ANN list found.
-
-    Composition of two already-duelled queries joined on (q_id, n_id) — an
-    equi-join of two k*n_query-row frames, so the recall harness itself
-    costs nothing at any scale. Fully SQL-expressible (the oracle composes
-    the same two mirrors), so the recall NUMBER duels, not just the lists.
-    """
-    exact = q_cosine_topk(spark, sf_dir, n_query, k).select("q_id", "n_id")
-    ann = q_ann_ivf_topk(spark, sf_dir, n_query, k, n_cent, n_probe).select(
-        F.col("q_id").alias("a_q_id"), F.col("n_id").alias("a_n_id"))
+def _recall_vs_exact(exact, ann):
+    """Per-query recall bookkeeping shared by the IVF and LSH recall
+    queries: (q_id, n_exact, n_hits, recall) from two (q_id, n_id)
+    frames — an equi-join of two k*n_query-row frames, so the measurement
+    itself costs nothing at any scale."""
+    ann = ann.select(F.col("q_id").alias("a_q_id"),
+                     F.col("n_id").alias("a_n_id"))
     hits = exact.join(
         ann, (F.col("q_id") == F.col("a_q_id"))
         & (F.col("n_id") == F.col("a_n_id")), "left")
@@ -443,9 +436,103 @@ def q_ann_recall(spark, sf_dir, n_query: int = N_QUERY, k: int = TOP_K,
     )
 
 
+def q_ann_recall(spark, sf_dir, n_query: int = N_QUERY, k: int = TOP_K,
+                 n_cent: int = IVF_N_CENT, n_probe: int = IVF_N_PROBE):
+    """Measured recall@k of the IVF ANN path against the EXACT cosine top-k
+    on the same embeddings — the quality dial a real pipeline tunes nprobe /
+    centroid count against (approximate retrieval without a measured recall
+    is a guess). Per query: how many of the true top-k the ANN list found.
+
+    Composition of two already-duelled queries joined on (q_id, n_id); see
+    :func:`_recall_vs_exact`. Fully SQL-expressible (the oracle composes
+    the same two mirrors), so the recall NUMBER duels, not just the lists.
+    """
+    exact = q_cosine_topk(spark, sf_dir, n_query, k).select("q_id", "n_id")
+    ann = q_ann_ivf_topk(spark, sf_dir, n_query, k, n_cent, n_probe)
+    return _recall_vs_exact(exact, ann)
+
+
+def q_ann_lsh_recall(spark, sf_dir, n_query: int = N_QUERY, k: int = TOP_K,
+                     n_tables: int = 8, n_planes: int = 8):
+    """Measured recall@k of the hyperplane-LSH ANN path: candidates are
+    vectors sharing any (table, bucket) with the query across ``n_tables``
+    OR-ed hash tables, ranked by exact cosine, cut at k — recalled against
+    the exact top-k. The second tuning dial next to :func:`q_ann_recall`
+    (bands/tables for LSH, nprobe for IVF).
+
+    Scale shape: the query side is n_query*n_tables rows (broadcast); the
+    candidate join is an equi-join on (tbl, bucket). A production variant
+    composes with ``lsh_candidate_pairs``'s hot-bucket cap; the duel keeps
+    the uncapped form so the oracle's candidate set matches exactly (the
+    plane weights are the same literals on both engines)."""
+    from pyspark.sql.window import Window
+
+    emb = _emb(spark, sf_dir)
+    bucketed = lsh_bucketed(emb, n_tables=n_tables, n_planes=n_planes)
+    qb = bucketed.filter(F.col("vec_id") < n_query).select(
+        F.col("vec_id").alias("q_id"), "tbl", "bucket")
+    cand = (F.broadcast(qb).join(bucketed, ["tbl", "bucket"])
+            .filter(F.col("vec_id") != F.col("q_id"))
+            .select("q_id", F.col("vec_id").alias("n_id")).distinct())
+    qe = emb.select(F.col("vec_id").alias("q_id"),
+                    F.col("embedding").alias("q_emb"))
+    ne = emb.select(F.col("vec_id").alias("n_id"),
+                    F.col("embedding").alias("n_emb"))
+    scored = (cand.join(F.broadcast(qe), "q_id").join(ne, "n_id")
+              .withColumn("cos", F.expr(_cosine("q_emb", "n_emb"))))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
+    ann = (scored.withColumn("rank", F.row_number().over(w))
+           .filter(F.col("rank") <= k).select("q_id", "n_id"))
+    exact = q_cosine_topk(spark, sf_dir, n_query, k).select("q_id", "n_id")
+    return _recall_vs_exact(exact, ann)
+
+
 ORACLE["q_ann_recall"] = f"""
     WITH exact AS ({ORACLE["q_cosine_topk"]}),
          ann AS ({ORACLE["q_ann_ivf_topk"]})
+    SELECT e.q_id,
+           count(*) AS n_exact,
+           count(a.n_id) AS n_hits,
+           round(CAST(count(a.n_id) AS DOUBLE) / count(*), 4) AS recall
+    FROM exact e
+    LEFT JOIN ann a ON e.q_id = a.q_id AND e.n_id = a.n_id
+    GROUP BY e.q_id
+"""
+
+
+def _duck_lsh_bucket(prefix: str, n_planes: int = 8) -> str:
+    return " || ".join(
+        f"(CASE WHEN {_duck_plane_dot(p, prefix)} >= 0 "
+        f"THEN '1' ELSE '0' END)" for p in range(n_planes))
+
+
+ORACLE["q_ann_lsh_recall"] = f"""
+    WITH bucketed AS (
+        {" UNION ALL ".join(
+            f"SELECT vec_id, {t} AS tbl, {_duck_lsh_bucket(f't{t}:')} AS bucket FROM embeddings"
+            for t in range(8))}
+    ),
+    cand AS (
+        SELECT DISTINCT q.vec_id AS q_id, n.vec_id AS n_id
+        FROM bucketed q
+        JOIN bucketed n ON q.tbl = n.tbl AND q.bucket = n.bucket
+        WHERE q.vec_id < {N_QUERY} AND n.vec_id != q.vec_id
+    ),
+    scored AS (
+        SELECT c.q_id, c.n_id,
+               {_duck_cos('qe.embedding', 'ne.embedding')} AS cos
+        FROM cand c
+        JOIN embeddings qe ON qe.vec_id = c.q_id
+        JOIN embeddings ne ON ne.vec_id = c.n_id
+    ),
+    ann AS (
+        SELECT q_id, n_id FROM (
+            SELECT q_id, n_id, row_number() OVER (
+                PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank
+            FROM scored)
+        WHERE rank <= {TOP_K}
+    ),
+    exact AS ({ORACLE["q_cosine_topk"]})
     SELECT e.q_id,
            count(*) AS n_exact,
            count(a.n_id) AS n_hits,

@@ -94,3 +94,23 @@ def test_ann_recall_monotone_in_probes(spark):
     # bookkeeping invariants: n_exact is k, hits never exceed it
     for r in q_ann_recall(spark, sf).collect():
         assert 0 <= r["n_hits"] <= r["n_exact"]
+
+
+def test_ann_lsh_recall_monotone_in_tables(spark):
+    """The LSH tuning dial: fewer OR-ed hash tables must not raise (and on
+    this corpus strictly lowers) measured recall@k; the registered 8-table
+    default sits at the top."""
+    from scikg_spark.ops.similarity import q_ann_lsh_recall
+
+    sf = "/root/testdata/sf0.001"
+
+    def mean_recall(n_tables):
+        rows = q_ann_lsh_recall(spark, sf, n_tables=n_tables).collect()
+        assert rows
+        for r in rows:
+            assert 0 <= r["n_hits"] <= r["n_exact"]
+        return sum(r["recall"] for r in rows) / len(rows)
+
+    r1, r4, r8 = (mean_recall(t) for t in (1, 4, 8))
+    assert r1 <= r4 <= r8
+    assert r1 < r8  # OR-amplification visibly buys recall on this corpus
