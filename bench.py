@@ -6,7 +6,10 @@ Headline = the fused KG-extraction pipeline (triples/sec is THE BASELINE.json
 metric) + stage-3 entity linking + the dedup/similarity/text/relational ops.
 Each query is timed to full materialization (count) at $SPARK_GRAFT_SF_DIR,
 REPEATED $SPARK_GRAFT_REPS times (default 5) with the MEDIAN reported
-per query (plus min in "queries_min") — this VM's CPU drifts 2-5x with host
+per query (plus min in "queries_min"; every artifact also carries
+host-weather calibration — host_miters_per_sec, a 32-way int burn, and
+host_gemm_gflops, a single-thread BLAS probe — measured right after the
+timed region: read them before comparing totals across rounds) — this VM's CPU drifts 2-5x with host
 neighbors IN MULTI-MINUTE EPISODES, so a single-shot timing can report a 7x
 outlier for an unchanged plan (BENCH_r02's two 28 s rows were exactly that),
 and an episode can even cover several consecutive reps of one query.
