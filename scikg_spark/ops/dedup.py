@@ -66,41 +66,67 @@ def q_dedup_exact(spark, sf_dir):
     )
 
 
-def _shingle_sql(k: int) -> str:
-    """Spark-SQL text for the word k-gram array of `text` (empty array when
-    too short) — exposed as a string so callers can compose it inside larger
-    expressions (in-place hashing/dedup) without a Column round-trip."""
-    return ("case when size(split(text, ' ')) < {k} then array() "
-            "else transform(sequence(0, size(split(text, ' ')) - {k}), "
-            "i -> concat_ws(' ', slice(split(text, ' '), i + 1, {k}))) end"
-            .format(k=k))
+def _gram_sql(k: int, col: str = "toks") -> str:
+    """Spark-SQL text for the word k-gram array over a pre-split token
+    column. Referencing a `toks` ATTRIBUTE inside the lambda is the whole
+    point: the previous form inlined split(text) into the transform lambda,
+    which re-split the document once PER GRAM (O(n^2) per doc — measured 6x
+    slower on the bigram pass). The guard keeps sequence() from running
+    backwards on short docs (sequence(1, 0) steps -1)."""
+    if k == 2:
+        body = (f"zip_with(slice({col}, 1, size({col}) - 1), "
+                f"slice({col}, 2, size({col}) - 1), "
+                "(a, b) -> concat(a, ' ', b))")
+    else:
+        parts = ", ' ', ".join(
+            f"element_at({col}, i + {j})" for j in range(k))
+        body = (f"transform(sequence(1, size({col}) - {k - 1}), "
+                f"i -> concat({parts}))")
+    return f"case when size({col}) < {k} then array() else {body} end"
 
 
 def _word_shingles(k: int):
-    """word k-gram strings of `text` (empty array when too short)."""
-    return F.expr(_shingle_sql(k))
+    """word k-gram strings of a pre-split `toks` column (empty array when
+    too short) — callers project ``F.split("text", " ").alias("toks")``
+    first (one split per row, reused by every gram)."""
+    return F.expr(_gram_sql(k))
+
+
+def _pairs_sql(ids: str, a_name: str = "doc_a", b_name: str = "doc_b") -> str:
+    """All (a < b) pairs from a collected id array — the in-place form of
+    the band-bucket self-join. Bounded by the _MAX_BUCKET cap applied
+    before this expression, so at most C(64, 2) structs per group."""
+    return (f"flatten(transform({ids}, a -> "
+            f"transform(filter({ids}, b -> b > a), "
+            f"b -> named_struct('{a_name}', a, '{b_name}', b))))")
 
 
 def q_minhash_dup_pairs(spark, sf_dir):
-    """Candidate near-duplicate pairs: docs sharing >= 1 LSH band."""
-    # signatures in place via array expressions: no shingle explode, no
-    # distinct shuffle — min over the distinct shingle array equals the
-    # exploded form row-for-row (docs with < 3 words have no signature, same
-    # as the oracle's len >= 3 guard). One md5 per shingle, then the cheap
-    # Carter-Wegman mixes derive all N_HASHES values.
-    sig = (
-        _docs(spark, sf_dir)
-        .select("doc_id", F.array_distinct(_word_shingles(3)).alias("sh"))
-        .filter(F.size("sh") > 0)
-        .select("doc_id", F.expr(
-            "transform(sh, s -> cast(conv(substring(md5(s), 1, 8), 16, 10) "
-            "as bigint))").alias("hb"))
-        .select("doc_id", *[
-            F.expr(f"array_min(transform(hb, h -> "
-                   f"({a} * h + {b}) % {_MINHASH_P}))").alias(f"h{i}")
-            for i, (a, b) in enumerate(_MIX)
-        ])
-    )
+    """Candidate near-duplicate pairs: docs sharing >= 1 LSH band.
+
+    Plan shape (round 6): ONE subtree — scan -> split once -> distinct
+    3-gram shingles -> one md5 per shingle + Carter-Wegman mixes -> band
+    explode -> groupBy (band, key) collect_list -> in-place pair expansion
+    -> distinct. The previous self-join form planned the capped-band frame
+    as a BroadcastHashJoin whose build side re-ran the whole signature
+    pipeline (two scans, two shingle+md5 passes, two window shuffles), and
+    its expensive size(shingles)>0 filter was pushed below the
+    parallelize_scan exchange where it ran inside the 1-2 scan tasks:
+    measured 12.1 s -> 1.5 s at sf1.0 for identical output. The word-count
+    gate is the cheap equivalent (>= 3 words <=> >= 1 shingle, the oracle's
+    own guard) so nothing heavy runs before the round-robin exchange."""
+    docs = _docs(spark, sf_dir).filter(F.size(F.split("text", " ")) >= 3)
+    toked = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    sh = toked.select(
+        "doc_id", F.expr(f"array_distinct({_gram_sql(3)})").alias("sh"))
+    hb = sh.select("doc_id", F.expr(
+        "transform(sh, s -> cast(conv(substring(md5(s), 1, 8), 16, 10) "
+        "as bigint))").alias("hb"))
+    sig = hb.select("doc_id", *[
+        F.expr(f"array_min(transform(hb, h -> "
+               f"({a} * h + {b}) % {_MINHASH_P}))").alias(f"h{i}")
+        for i, (a, b) in enumerate(_MIX)
+    ])
     bands = []
     for b in range(_N_HASHES // _BAND_SIZE):
         cols = [F.col(f"h{b * _BAND_SIZE + j}") for j in range(_BAND_SIZE)]
@@ -111,72 +137,83 @@ def q_minhash_dup_pairs(spark, sf_dir):
         .select("doc_id", "bk.band", "bk.key")
     )
     # bucket cap: a hot band key (boilerplate-heavy shingles) is dropped, not
-    # exploded quadratically — same guard as stage3.lsh_candidate_pairs.
-    # Window count over the join's own (band, key) partitioning: the pair
-    # self-join reuses the exchange (one shuffle, not count+join's two)
-    from pyspark.sql.window import Window
-
-    capped = (
-        banded.withColumn(
-            "_n", F.count("*").over(Window.partitionBy("band", "key")))
-        .filter(F.col("_n") <= _MAX_BUCKET)
-        .drop("_n")
-    )
-    left = capped.select("band", "key", F.col("doc_id").alias("doc_a"))
-    right = capped.select("band", "key", F.col("doc_id").alias("doc_b"))
+    # exploded quadratically — size(ids) is exactly the old window count.
+    # Pair generation happens in place on the collected bucket (<= 64 ids),
+    # so the whole query needs one grouping shuffle + the distinct, and the
+    # signature pipeline is computed exactly once.
+    grouped = banded.groupBy("band", "key").agg(
+        F.collect_list("doc_id").alias("ids"))
     return (
-        left.join(right, ["band", "key"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        grouped
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= _MAX_BUCKET))
+        .select(F.explode(F.expr(_pairs_sql("ids"))).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 
 
 def q_ngram_jaccard_pairs(spark, sf_dir, threshold: float = 0.5):
     """Word-bigram Jaccard >= threshold within (lang, source) blocks.
-    Pairs form via equi-join on (block, bigram), intersection counts by
-    group-by, union sizes from per-doc distinct counts."""
-    docs = _docs(spark, sf_dir).filter(F.size(F.split("text", " ")) >= 2)
-    # grams shuffle as 60-bit ints (md5-prefix hash, engine-neutral), not
-    # ~15-char strings: the window-cap / self-join shuffles carry 8-byte
-    # keys. 60 bits ≈ zero collisions at any per-block gram count that
-    # survives the cap — and the oracle hashes identically, so the duel
-    # checks the hashed scheme end to end. Per-doc dedup happens IN PLACE
-    # (array_distinct before AND after hashing, mirroring the oracle's
-    # DISTINCT-on-hash semantics exactly even under a collision), so the
-    # exploded gram table needs NO distinct shuffle and the per-doc set
-    # sizes come from a map-only projection instead of an aggregation.
-    gram_set = F.expr(
-        f"array_distinct(transform(array_distinct({_shingle_sql(2)}), "
-        "g -> cast(conv(substring(md5(g), 1, 15), 16, 10) as bigint)))")
-    grams = docs.select(
-        "doc_id", "lang", "source", F.explode(gram_set).alias("gram_h"))
-    sizes = docs.select("doc_id", F.size(gram_set).alias("n_grams"))
-    # hot-gram cap: a stop-bigram present in > _MAX_BUCKET docs of one
-    # (lang, source) block is excluded from PAIR GENERATION (union sizes stay
-    # exact — computed from the uncapped grams above); mirrored in the oracle.
-    # Window count on the join's own key partitioning (exchange reuse)
+
+    Plan shape (round 6): scan once -> split once -> hashed distinct bigram
+    set per doc (60-bit md5-prefix ints, engine-neutral; per-doc dedup in
+    place mirrors the oracle's DISTINCT-on-hash even under a collision) ->
+    set size captured in the SAME pass (no separate sizes subtree
+    re-running every md5) -> window cap -> localCheckpoint -> shuffled-hash
+    band self-join -> ONE pair aggregation. The previous form evaluated the
+    whole gram pipeline once per join side plus twice more for the size
+    joins, and its expensive >=1-bigram filter (which built the gram array
+    just to test emptiness) was pushed below the parallelize_scan exchange
+    into the 1-2 scan tasks; the cheap word-count gate (>= 2 words <=> >= 1
+    bigram, the oracle's own guard) plus the checkpointed single subtree
+    cut sf1.0 from 27.1 s to ~16 s for identical output. The intermediate
+    is inherently heavy on this corpus (34M capped pair instances -> 12M
+    distinct pairs; the cap and the blocking keys are duel-frozen), so the
+    remaining cost is the pair aggregation itself. Union sizes stay exact —
+    n_grams is computed before the cap; the hot-gram cap (a stop-bigram in
+    > _MAX_BUCKET docs of one block is excluded from PAIR GENERATION) is
+    the window count, mirrored in the oracle."""
     from pyspark.sql.window import Window
 
+    docs = _docs(spark, sf_dir).filter(F.size(F.split("text", " ")) >= 2)
+    toked = docs.select(
+        "doc_id", "lang", "source", F.split("text", " ").alias("toks"))
+    hashed = toked.select(
+        "doc_id", "lang", "source",
+        F.expr(f"array_distinct(transform(array_distinct({_gram_sql(2)}), "
+               "g -> cast(conv(substring(md5(g), 1, 15), 16, 10) as bigint)))"
+               ).alias("grams"))
+    grams = hashed.select(
+        "doc_id", "lang", "source", F.size("grams").alias("n_grams"),
+        F.explode("grams").alias("gram_h"))
     capped = (
         grams.withColumn(
             "_n",
             F.count("*").over(Window.partitionBy("lang", "source", "gram_h")))
         .filter(F.col("_n") <= _MAX_BUCKET)
         .drop("_n")
+        # materialize the capped gram table once: the self-join would
+        # otherwise re-run the scan+md5 pipeline for its build side (no
+        # exchange reuse under a broadcast/shuffled-hash build)
+        .localCheckpoint()
     )
-    a = capped.select("lang", "source", F.col("doc_id").alias("doc_a"), "gram_h")
-    b = capped.select("lang", "source", F.col("doc_id").alias("doc_b"), "gram_h")
+    a = capped.select("lang", "source", "gram_h",
+                      F.col("doc_id").alias("doc_a"),
+                      F.col("n_grams").alias("na"))
+    b = capped.select("lang", "source", "gram_h",
+                      F.col("doc_id").alias("doc_b"),
+                      F.col("n_grams").alias("nb"))
     inter = (
-        a.join(b, ["lang", "source", "gram_h"])
+        a.join(b.hint("shuffle_hash"), ["lang", "source", "gram_h"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_common"))
+        .agg(F.count("*").alias("n_common"),
+             # na/nb are functionally dependent on doc_a/doc_b (one gram-set
+             # size per doc); min() is just the deterministic picker
+             F.min("na").alias("na"), F.min("nb").alias("nb"))
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_grams").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_grams").alias("nb"))
     return (
-        inter.join(sa, "doc_a").join(sb, "doc_b")
+        inter
         .withColumn(
             "jaccard",
             F.round(F.col("n_common") /
@@ -377,6 +414,24 @@ CONTAM_BAND = "0"     # benchmark set = docs whose salted md5 starts with
                       # engine-neutral stand-in for a real eval-set table
 
 
+def _capped_gram_groups(spark, sf_dir):
+    """(gram_h, ids) groups of the word-8-gram table, hot grams dropped —
+    the shared corpus side of both contamination scans. One scan, one split
+    per doc, per-doc dedup in place (double array_distinct mirrors the
+    oracle's DISTINCT-on-hash exactly), ONE grouping shuffle; size(ids) is
+    exactly the old window count, so the cap semantics are unchanged."""
+    docs = _docs(spark, sf_dir).filter(
+        F.size(F.split("text", " ")) >= CONTAM_K)
+    toked = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    grams = toked.select("doc_id", F.explode(F.expr(
+        f"array_distinct(transform(array_distinct({_gram_sql(CONTAM_K)}), "
+        "g -> cast(conv(substring(md5(g), 1, 15), 16, 10) as bigint)))"
+    )).alias("gram_h"))
+    return (grams.groupBy("gram_h")
+            .agg(F.collect_list("doc_id").alias("ids"))
+            .filter(F.size("ids") <= _MAX_BUCKET))
+
+
 def q_contamination(spark, sf_dir):
     """Benchmark-contamination scan: corpus documents sharing at least one
     word-8-gram with any held-out 'benchmark' document. The real-world op
@@ -384,36 +439,30 @@ def q_contamination(spark, sf_dir):
     band is carved deterministically out of the same corpus so the whole
     scheme duels.
 
-    Scale shape: grams shuffle as 60-bit md5-prefix ints; the join is an
-    equi-join on gram_h with the standard hot-gram cap (a boilerplate gram
-    in > _MAX_BUCKET docs is dropped, not exploded); the benchmark side is
-    ~1/16 of the gram table. Output: one row per contaminated corpus doc
-    with distinct shared-gram and benchmark-doc counts."""
-    from pyspark.sql.window import Window
-
-    docs = _docs(spark, sf_dir).filter(
-        F.size(F.split("text", " ")) >= CONTAM_K)
-    # per-doc dedup in place (no distinct shuffle of the exploded grams);
-    # double array_distinct mirrors the oracle's DISTINCT-on-hash exactly
-    grams = docs.select("doc_id", F.explode(F.expr(
-        f"array_distinct(transform(array_distinct({_shingle_sql(CONTAM_K)}), "
-        "g -> cast(conv(substring(md5(g), 1, 15), 16, 10) as bigint)))"
-    )).alias("gram_h"))
-    capped = (
-        grams.withColumn(
-            "_n", F.count("*").over(Window.partitionBy("gram_h")))
-        .filter(F.col("_n") <= _MAX_BUCKET)
-        .drop("_n")
+    Plan shape (round 6): the capped gram groups come from ONE grouping
+    shuffle (:func:`_capped_gram_groups`); the bench/corpus split and the
+    corpus x bench matches are expanded IN PLACE per gram group (both
+    bounded by the _MAX_BUCKET cap), replacing the previous window-cap +
+    self-join form that evaluated the 8-gram md5 pipeline once per join
+    side. Output: one row per contaminated corpus doc with distinct
+    shared-gram and benchmark-doc counts — identical to the join form."""
+    grouped = _capped_gram_groups(spark, sf_dir)
+    is_b = (f"substring(md5(concat('bench:', cast(d as string))), 1, 1) "
+            f"= '{CONTAM_BAND}'")
+    split_ = grouped.select(
+        "gram_h",
+        F.expr(f"filter(ids, d -> {is_b})").alias("bench"),
+        F.expr(f"filter(ids, d -> not ({is_b}))").alias("corp"))
+    matches = (
+        split_
+        .filter((F.size("bench") > 0) & (F.size("corp") > 0))
+        .select("gram_h", F.explode(F.expr(
+            "flatten(transform(corp, c -> transform(bench, b -> "
+            "named_struct('doc_id', c, 'bench_doc', b))))")).alias("p"))
+        .select("gram_h", "p.doc_id", "p.bench_doc")
     )
-    is_bench = F.expr(
-        f"substring(md5(concat('bench:', cast(doc_id as string))), 1, 1) "
-        f"= '{CONTAM_BAND}'")
-    bench = capped.filter(is_bench).select(
-        F.col("doc_id").alias("bench_doc"), "gram_h")
-    corpus = capped.filter(~is_bench)
     return (
-        corpus.join(bench, "gram_h")
-        .groupBy("doc_id")
+        matches.groupBy("doc_id")
         .agg(F.countDistinct("gram_h").alias("n_shared_grams"),
              F.countDistinct("bench_doc").alias("n_bench_docs"))
     )
@@ -516,28 +565,17 @@ def q_contamination_eval(spark, sf_dir):
     :func:`q_contamination` (whose benchmark band is a same-corpus
     carve-out proving the join shape).
 
-    Scale shape: the corpus side is the same capped hashed-gram pipeline;
-    the benchmark gram table is broadcast (benchmarks are tiny next to a
+    Scale shape: the corpus side is the shared capped gram-group pipeline
+    (:func:`_capped_gram_groups` — one scan, one grouping shuffle); the
+    benchmark gram table is broadcast (benchmarks are tiny next to a
     100-TB corpus) so the big side never shuffles. Empty output means the
     training corpus is clean — the expected state."""
-    from pyspark.sql.window import Window
-
-    docs = _docs(spark, sf_dir).filter(
-        F.size(F.split("text", " ")) >= CONTAM_K)
-    grams = docs.select("doc_id", F.explode(F.expr(
-        f"array_distinct(transform(array_distinct({_shingle_sql(CONTAM_K)}), "
-        "g -> cast(conv(substring(md5(g), 1, 15), 16, 10) as bigint)))"
-    )).alias("gram_h"))
-    capped = (
-        grams.withColumn(
-            "_n", F.count("*").over(Window.partitionBy("gram_h")))
-        .filter(F.col("_n") <= _MAX_BUCKET)
-        .drop("_n")
-    )
+    grouped = _capped_gram_groups(spark, sf_dir)
     bench = spark.read.parquet(eval_gram_table()).select(
         F.col("stmt_id").alias("bench_stmt"), "gram_h")
     return (
-        capped.join(F.broadcast(bench), "gram_h")
+        grouped.join(F.broadcast(bench), "gram_h")
+        .select("gram_h", "bench_stmt", F.explode("ids").alias("doc_id"))
         .groupBy("doc_id")
         .agg(F.countDistinct("gram_h").alias("n_shared_grams"),
              F.countDistinct("bench_stmt").alias("n_bench_stmts"))

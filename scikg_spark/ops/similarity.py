@@ -157,20 +157,24 @@ def q_ann_lsh_buckets(spark, sf_dir, n_planes: int = 8):
 
 def lsh_candidate_pairs(emb, n_tables: int = 8, n_planes: int = 8,
                         max_bucket: int = 1024):
-    """Candidate (id_a < id_b) pairs sharing any (table, bucket) — pure
-    equi-joins; hot buckets wider than ``max_bucket`` are dropped, not
-    self-joined (the stage-3 cap pattern)."""
+    """Candidate (id_a < id_b) pairs sharing any (table, bucket); hot
+    buckets wider than ``max_bucket`` are dropped, not self-joined (the
+    stage-3 cap pattern). Round 6: pairs are expanded in place on the
+    collected bucket instead of a count-join + self-join — the join form
+    evaluated the hyperplane-projection pipeline once per subtree (three
+    times total); the grouped form projects each vector once and needs one
+    grouping shuffle. size(ids) equals the old group count, so the cap
+    semantics are unchanged."""
+    from scikg_spark.ops.dedup import _pairs_sql
+
     bucketed = lsh_bucketed(emb, n_tables=n_tables, n_planes=n_planes)
-    capped = bucketed.join(
-        bucketed.groupBy("tbl", "bucket").count()
-        .filter(F.col("count") <= max_bucket).select("tbl", "bucket"),
-        ["tbl", "bucket"])
-    left = capped.select("tbl", "bucket", F.col("vec_id").alias("id_a"))
-    right = capped.select("tbl", "bucket", F.col("vec_id").alias("id_b"))
+    grouped = bucketed.groupBy("tbl", "bucket").agg(
+        F.collect_list("vec_id").alias("ids"))
     return (
-        left.join(right, ["tbl", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        grouped
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
+        .select(F.explode(F.expr(_pairs_sql("ids", "id_a", "id_b"))).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
 

@@ -202,10 +202,15 @@ def q_repetition_stats(spark, sf_dir, threshold: float = REPETITION_THRESHOLD):
     from scikg_spark.ops.dedup import _word_shingles
 
     docs = _docs(spark, sf_dir).filter(F.size(F.split("text", " ")) >= 2)
-    g = docs.select("doc_id", _word_shingles(2).alias("g"))
-    n = F.size("g")
-    nd = F.size(F.array_distinct("g"))
-    return g.select(
+    # split once, build the gram array once, dedup it once: staged columns
+    # keep CollapseProject from inlining the (non-cheap) producers into
+    # every consumer expression
+    toked = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    g = toked.select("doc_id", _word_shingles(2).alias("g"))
+    sized = g.select("doc_id", F.size("g").alias("n"),
+                     F.size(F.array_distinct("g")).alias("nd"))
+    n, nd = F.col("n"), F.col("nd")
+    return sized.select(
         "doc_id",
         n.cast("long").alias("n_grams"),
         F.round(F.lit(1.0) - nd / n.cast("double"), 4).alias("dup_frac"),
@@ -370,17 +375,20 @@ def q_filter_policy(spark, sf_dir):
     from scikg_spark.ops.dedup import _word_shingles, q_contamination
 
     docs = _docs(spark, sf_dir)
-    n_words = F.size(F.split("text", " "))
-    g = _word_shingles(2)
+    # split once, build the bigram array once (staged columns — see
+    # q_repetition_stats), then derive both gates from the staged columns
+    toked = docs.select("doc_id", "lang", F.split("text", " ").alias("toks"))
+    staged = toked.select("doc_id", "lang", F.size("toks").alias("n_words"),
+                          _word_shingles(2).alias("g"))
     dup_frac = F.when(
-        n_words >= 2,
-        F.round(F.lit(1.0) - F.size(F.array_distinct(g)) /
-                F.size(g).cast("double"), 4)
+        F.col("n_words") >= 2,
+        F.round(F.lit(1.0) - F.size(F.array_distinct("g")) /
+                F.size("g").cast("double"), 4)
     ).otherwise(F.lit(0.0))
     contam = q_contamination(spark, sf_dir).select(
         "doc_id", F.lit(1).alias("_contam"))
-    base = docs.select("doc_id", "lang", n_words.alias("n_words"),
-                       dup_frac.alias("dup_frac"))
+    base = staged.select("doc_id", "lang", "n_words",
+                         dup_frac.alias("dup_frac"))
     reason = (
         F.when(F.col("lang") != FILTER_LANG, F.lit("lang"))
         .when(F.col("n_words") < FILTER_MIN_WORDS, F.lit("too_short"))

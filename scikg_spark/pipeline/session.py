@@ -43,6 +43,25 @@ def get_spark(app_name="scikg", cores=None, shuffle_partitions=None,
         # shuffles still split by the 64 MB advisory target
         .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
                 "false")
+        # AQE sizes every exchange from the DATA, not from the static
+        # shuffle_partitions fallback: start shuffles at 8x core count and
+        # let the 16 MB advisory coalesce downward. Without this, a 500 MB
+        # pair-aggregation shuffle was capped at shuffle_partitions tasks
+        # and then coalesced to ~5 by the old 64 MB advisory — the round-6
+        # profile showed the dedup pair aggregations running 5-way on a
+        # 32-core box. 16 MB keeps KB-sized metadata stages collapsing to
+        # one task (parallelismFirst=false above) while giving ~30 tasks to
+        # a ~500 MB exchange; both knobs scale with input size, not with
+        # the local core count.
+        .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+                str(max(cores * 8, shuffle_partitions)))
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
+        # prefer shuffled-hash over sort-merge when a side's per-partition
+        # build fits (guide §3.1): the dedup/KG equi-joins are
+        # high-fanout joins on small keys where the sort dominates
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+                "256m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch))

@@ -90,23 +90,22 @@ def lsh_candidate_pairs(
     banded = sig.select("phrase_id", F.explode(F.array(*band_cols)).alias("bk")) \
                 .select("phrase_id", "bk.band", "bk.key")
     # cap bucket width: hot buckets (near-stopword phrases) are dropped, not
-    # exploded into O(n^2) pairs. The cap is a window count over the SAME
-    # (band, key) partitioning the self-join needs, so the join reuses the
-    # exchange — one shuffle where the count+guard-join form took two
-    from pyspark.sql.window import Window
+    # exploded into O(n^2) pairs. Round 6: pairs are expanded IN PLACE on
+    # the collected bucket (bounded by the cap) instead of a band self-join
+    # — the join form planned as a BroadcastHashJoin whose build side re-ran
+    # the whole signature pipeline (scan + shingles + hashes twice); the
+    # grouped form computes signatures once and needs ONE grouping shuffle.
+    # size(ids) is exactly the old window count, so cap semantics are
+    # unchanged.
+    from scikg_spark.ops.dedup import _pairs_sql
 
-    sized = (
-        banded.withColumn(
-            "_n", F.count("*").over(Window.partitionBy("band", "key")))
-        .filter(F.col("_n") <= max_bucket)
-        .drop("_n")
-    )
-    left = sized.select("band", "key", F.col("phrase_id").alias("src"))
-    right = sized.select("band", "key", F.col("phrase_id").alias("dst"))
+    grouped = banded.groupBy("band", "key").agg(
+        F.collect_list("phrase_id").alias("ids"))
     return (
-        left.join(right, ["band", "key"])
-        .filter(F.col("src") < F.col("dst"))
-        .select("src", "dst")
+        grouped
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
+        .select(F.explode(F.expr(_pairs_sql("ids", "src", "dst"))).alias("p"))
+        .select("p.src", "p.dst")
         .distinct()
     )
 
