@@ -140,10 +140,25 @@ def score_nll(lm: LanguageModel, sentences, batch: int = 64):
     """Forward-only per-sentence mean next-word NLL (no grads — the
     inference path for CCNet-style perplexity filtering). Batches are
     length-sorted and masked exactly like the trainer; sentences under two
-    tokens have no predictive positions and score NaN."""
+    tokens have no predictive positions and score NaN.
+
+    Round 6: allocation/traffic trims only, VERIFIED bitwise-equal to the
+    round-5 form on the full bench corpus — the batch geometry (64) and the
+    full-B step GEMM are FROZEN because OpenBLAS picks different kernels
+    for different M and the per-row sums then drift in the last ulp (a
+    measured effect on this box), which would change rounded outputs. The
+    concat buffer is reused across steps, the decoder gathers the target
+    logit BEFORE exponentiating in place (the old _log_softmax call
+    materialized a second (N,|V|) array just to gather N entries of it),
+    and the per-sentence sum uses bincount (same sequential accumulation
+    order as ufunc.at, ~10x less dispatch overhead)."""
+    from scikg_spark.core.neural import _sigmoid
+
     out = [float("nan")] * len(sentences)
     order = sorted(range(len(sentences)),
                    key=lambda i: len(sentences[i]), reverse=True)
+    H = lm.hidden
+    W, bias = lm.cell.w, lm.cell.b
     for s in range(0, len(order), batch):
         idx = order[s:s + batch]
         chunk = [sentences[i] for i in idx]
@@ -158,12 +173,23 @@ def score_nll(lm: LanguageModel, sentences, batch: int = 64):
                 c, dim=lm.in_dim, table=lm.word_table)
             y[bi, :len(c)] = lm.ids(c)
         valid = (lens[:, None] - 1) > np.arange(T)[None, :]
-        h = np.zeros((B, lm.hidden), dtype=np.float32)
-        c_st = np.zeros((B, lm.hidden), dtype=np.float32)
-        hs = np.zeros((B, T - 1, lm.hidden), dtype=np.float32)
+        h = np.zeros((B, H), dtype=np.float32)
+        c_st = np.zeros((B, H), dtype=np.float32)
+        hs = np.zeros((B, T - 1, H), dtype=np.float32)
+        xh = np.empty((B, lm.in_dim + H), dtype=np.float32)
         for t in range(T - 1):
             v = valid[:, t:t + 1]
-            h2, c2, _ = _lstm_fwd(lm.cell, x[:, t], h, c_st)
+            # same ops as _lstm_fwd, minus the per-step concatenate
+            # allocation and the training cache
+            xh[:, :lm.in_dim] = x[:, t]
+            xh[:, lm.in_dim:] = h
+            z = xh @ W + bias
+            i_g = _sigmoid(z[:, :H])
+            f_g = _sigmoid(z[:, H:2 * H])
+            g_g = np.tanh(z[:, 2 * H:3 * H])
+            o_g = _sigmoid(z[:, 3 * H:])
+            c2 = f_g * c_st + i_g * g_g
+            h2 = o_g * np.tanh(c2)
             h = np.where(v, h2, h)
             c_st = np.where(v, c2, c_st)
             hs[:, t] = h
@@ -179,10 +205,13 @@ def score_nll(lm: LanguageModel, sentences, batch: int = 64):
         tok_nll = np.empty(len(rows), dtype=np.float64)
         for s0 in range(0, len(rows), 1024):
             sl = slice(s0, s0 + 1024)
-            logp = _log_softmax(states[sl] @ lm.dec_w + lm.dec_b)
-            tok_nll[sl] = -logp[np.arange(logp.shape[0]), tgt[sl]]
-        nll = np.zeros(B)
-        np.add.at(nll, rows, tok_nll)
+            logits = states[sl] @ lm.dec_w + lm.dec_b
+            m = logits.max(axis=-1, keepdims=True)
+            zc = logits - m
+            zt = zc[np.arange(zc.shape[0]), tgt[sl]].copy()
+            np.exp(zc, out=zc)
+            tok_nll[sl] = -(zt - np.log(zc.sum(axis=-1)))
+        nll = np.bincount(rows, weights=tok_nll, minlength=B)
         n_tok = np.bincount(rows, minlength=B)
         for bi, i in enumerate(idx):
             if n_tok[bi] > 0:

@@ -528,6 +528,14 @@ def eval_gram_table(tsv_path: str = _EVAL_TSV,
     pq_path_shipped = os.path.join(out_dir, "grams.parquet")
     if not os.path.isfile(tsv_path):
         if os.path.isfile(pq_path_shipped):
+            # freshness can't be re-verified without the source TSV — say so
+            # instead of silently serving a possibly-stale artifact (ADVICE
+            # r5): a reappearing TSV re-runs the fingerprint check above.
+            import sys
+
+            print(f"eval_gram_table: source TSV {tsv_path!r} missing; "
+                  f"serving shipped gram table {pq_path_shipped!r} "
+                  f"without a freshness check", file=sys.stderr)
             return pq_path_shipped
         raise FileNotFoundError(
             f"benchmark TSV {tsv_path!r} missing and no materialized "

@@ -35,6 +35,18 @@ def _cosine(a: str, b: str) -> str:
             f"(sqrt({_DOT.format(a=a, b=a)}) * sqrt({_DOT.format(a=b, b=b)}))")
 
 
+def _norm(a: str) -> str:
+    """sqrt(self-dot) — staged per ROW by the pair-heavy queries so each
+    vector's norm is computed once instead of once per pair; the division
+    dot/(norm_a*norm_b) is the same float expression _cosine evaluates, so
+    the values (and every rounded output) are identical."""
+    return f"sqrt({_DOT.format(a=a, b=a)})"
+
+
+def _cosine_pre(ab_dot: str, norm_a: str, norm_b: str) -> str:
+    return f"{ab_dot} / ({norm_a} * {norm_b})"
+
+
 # Hyperplane weights are PLAN-TIME literal arrays, not per-row hash calls:
 # md5-derived in Python at plan-build time (deterministic, engine-neutral —
 # the DuckDB oracles embed the SAME literals), folded once by Tungsten, and
@@ -109,14 +121,19 @@ def q_cosine_topk(spark, sf_dir, n_query: int = N_QUERY, k: int = TOP_K):
     broadcast stays constant-size instead of OOMing the executors.
     """
     emb = _emb(spark, sf_dir)
+    # norms staged per ROW (once per vector, not once per (q, n) pair —
+    # cuts the per-pair array math from 3 dots to 1; values identical)
     queries = emb.filter(F.col("vec_id") < n_query).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"))
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"),
+        F.expr(_norm("embedding")).alias("q_nrm"))
     neighbors = emb.select(F.col("vec_id").alias("n_id"),
-                           F.col("embedding").alias("n_emb"))
+                           F.col("embedding").alias("n_emb"),
+                           F.expr(_norm("embedding")).alias("n_nrm"))
     pairs = neighbors.join(F.broadcast(queries), F.col("q_id") != F.col("n_id"))
     scored = pairs.select(
         "q_id", "n_id",
-        F.expr(_cosine("q_emb", "n_emb")).alias("cos"))
+        F.expr(_cosine_pre(_DOT.format(a="q_emb", b="n_emb"),
+                           "q_nrm", "n_nrm")).alias("cos"))
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
@@ -234,27 +251,37 @@ def q_ann_ivf_topk(spark, sf_dir, n_query: int = N_QUERY, k: int = TOP_K,
         # an 8-row frame — noise that buries real single-partition bugs)
         .withColumn("cent_id", F.row_number().over(
             Window.partitionBy(F.col("h").substr(1, 0)).orderBy("h", "vec_id")))
-        .select("cent_id", F.col("embedding").alias("c_emb"))
+        .select("cent_id", F.col("embedding").alias("c_emb"),
+                F.expr(_norm("embedding")).alias("c_nrm"))
     )
-    scored = emb.join(F.broadcast(cents)).withColumn(
-        "sim", F.expr(_cosine("embedding", "c_emb")))
+    # norms staged per ROW (each vector's self-dot once, not once per
+    # centroid pairing — 8x less array math in the assignment pass; the
+    # cosine values are identical, see _norm)
+    emb_n = emb.select("vec_id", "embedding",
+                       F.expr(_norm("embedding")).alias("e_nrm"))
+    scored = emb_n.join(F.broadcast(cents)).withColumn(
+        "sim", F.expr(_cosine_pre(_DOT.format(a="embedding", b="c_emb"),
+                                  "e_nrm", "c_nrm")))
     assigned = (
         scored.groupBy("vec_id")
         .agg(F.expr("max_by(named_struct('cent_id', cent_id, "
-                    "'embedding', embedding), "
+                    "'embedding', embedding, 'e_nrm', e_nrm), "
                     "named_struct('s', sim, 'c', -cent_id))").alias("m"))
         .select("vec_id", F.col("m.cent_id").alias("cent_id"),
-                F.col("m.embedding").alias("embedding"))
+                F.col("m.embedding").alias("embedding"),
+                F.col("m.e_nrm").alias("e_nrm"))
     )
-    queries = emb.filter(F.col("vec_id") < n_query).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"))
+    queries = emb_n.filter(F.col("vec_id") < n_query).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"),
+        F.col("e_nrm").alias("q_nrm"))
     probes = (
         queries.join(F.broadcast(cents))
-        .withColumn("sim", F.expr(_cosine("q_emb", "c_emb")))
+        .withColumn("sim", F.expr(_cosine_pre(
+            _DOT.format(a="q_emb", b="c_emb"), "q_nrm", "c_nrm")))
         .withColumn("prn", F.row_number().over(
             Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("cent_id"))))
         .filter(F.col("prn") <= n_probe)
-        .select("q_id", "q_emb", "cent_id")
+        .select("q_id", "q_emb", "q_nrm", "cent_id")
     )
     # probes is bounded by n_query * n_probe rows — always the broadcast side
     cand = F.broadcast(probes).join(assigned, "cent_id").filter(
@@ -262,7 +289,8 @@ def q_ann_ivf_topk(spark, sf_dir, n_query: int = N_QUERY, k: int = TOP_K,
     w_k = Window.partitionBy("q_id").orderBy(
         F.desc("cos"), F.asc("vec_id"))
     return (
-        cand.withColumn("cos", F.expr(_cosine("q_emb", "embedding")))
+        cand.withColumn("cos", F.expr(_cosine_pre(
+            _DOT.format(a="q_emb", b="embedding"), "q_nrm", "e_nrm")))
         .withColumn("rank", F.row_number().over(w_k))
         .filter(F.col("rank") <= k)
         .select("q_id", F.col("vec_id").alias("n_id"),

@@ -31,14 +31,19 @@ def q_token_counts(spark, sf_dir):
 
 
 def q_quality(spark, sf_dir):
-    toks = F.split("text", " ")
+    # split once into a staged column (the inline form re-split the text for
+    # each of the four consumers); values identical
+    toks = F.col("toks")
     n = F.size(toks)
     stop_hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
-    df = _docs(spark, sf_dir).filter(F.col("n_chars") > 0).select(
+    staged = _docs(spark, sf_dir).filter(F.col("n_chars") > 0).select(
+        "doc_id", F.length("text").alias("_len"),
+        F.split("text", " ").alias("toks"))
+    df = staged.select(
         "doc_id",
         n.cast("long").alias("n_tokens"),
         F.round(stop_hits / n, 4).alias("stopword_ratio"),
-        F.round((F.length("text") - n + 1) / n, 4).alias("avg_token_len"),
+        F.round((F.col("_len") - n + 1) / n, 4).alias("avg_token_len"),
     )
     return df.withColumn(
         "quality",
@@ -72,11 +77,12 @@ def q_fingerprint(spark, sf_dir):
 def q_langid(spark, sf_dir):
     """Stopword-hit language heuristic (deterministic; parity with the SQL
     oracle is the contract, not linguistic accuracy)."""
-    toks = F.split("text", " ")
+    toks = F.col("toks")
     ratio = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))) / F.size(toks)
     return (
         _docs(spark, sf_dir)
         .filter(F.col("n_chars") > 0)
+        .select("doc_id", "lang", F.split("text", " ").alias("toks"))
         .select(
             "doc_id",
             "lang",

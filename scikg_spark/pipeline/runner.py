@@ -155,16 +155,27 @@ def run_pipeline_incremental(
     """
     corrections = corrections or {}
 
-    # idempotent catch-up: pages whose url is already in the warehouse are
-    # dropped BEFORE extraction (anti-join against the committed statements'
-    # distinct urls — url-count-sized, broadcastable), so a crashed-and-rerun
-    # batch never double-appends. Superseding a re-fetch (newer warc_ts wins)
-    # is the Iceberg MERGE path on a real cluster — out of scope for the
-    # parquet stand-in, and a re-fetch with IDENTICAL content is the common
-    # crash-retry case this guard handles exactly.
-    if catalog.is_complete("statements"):
-        seen = catalog.read("statements").select("url").distinct()
-        new_pages = new_pages.join(F.broadcast(seen), "url", "left_anti")
+    # idempotent catch-up: pages already FULLY committed (url present in
+    # BOTH the statements and tuples snapshots) are dropped BEFORE
+    # extraction (anti-join against the committed distinct urls —
+    # url-count-sized, broadcastable), so a crashed-and-rerun batch never
+    # double-appends. Requiring both tables closes the crash-retry window
+    # between the two commits (ADVICE r5, medium): a crash after the
+    # statements commit but before the tuples commit left the url in
+    # statements only, and the old statements-only guard then dropped the
+    # whole batch on retry — the batch's tuples (and all downstream edges)
+    # were silently and permanently missing. Now such pages are
+    # re-extracted, and each table's delta is additionally filtered against
+    # THAT table's own committed urls below, so the retry completes the
+    # partial append exactly (statements delta empties, tuples delta
+    # lands). Superseding a re-fetch (newer warc_ts wins) is the Iceberg
+    # MERGE path on a real cluster — out of scope for the parquet stand-in,
+    # and a re-fetch with IDENTICAL content is the common crash-retry case
+    # this guard handles exactly.
+    if catalog.is_complete("statements") and catalog.is_complete("tuples"):
+        done = (catalog.read("statements").select("url")
+                .intersect(catalog.read("tuples").select("url")))
+        new_pages = new_pages.join(F.broadcast(done), "url", "left_anti")
 
     new_statements = extract_statements(new_pages, lang=lang)
     if tagger == "rule":
@@ -179,6 +190,12 @@ def run_pipeline_incremental(
     for name, delta in (("statements", new_statements),
                         ("tuples", new_tuples)):
         had = catalog.is_complete(name)
+        if had:
+            # per-table idempotency: a retry never re-appends rows a table
+            # already holds, even when the previous attempt committed only
+            # one of the two tables (see the guard above)
+            seen = catalog.read(name).select("url").distinct()
+            delta = delta.join(F.broadcast(seen), "url", "left_anti")
         prev_rows = catalog.history(name)[-1]["rows"] if had else 0
         combined = catalog.read(name).unionByName(delta) if had else delta
         part = ("kind",) if name == "tuples" else ()

@@ -44,7 +44,7 @@ def get_spark(app_name="scikg", cores=None, shuffle_partitions=None,
         .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
                 "false")
         # AQE sizes every exchange from the DATA, not from the static
-        # shuffle_partitions fallback: start shuffles at 8x core count and
+        # shuffle_partitions fallback: start shuffles at 2x core count and
         # let the 16 MB advisory coalesce downward. Without this, a 500 MB
         # pair-aggregation shuffle was capped at shuffle_partitions tasks
         # and then coalesced to ~5 by the old 64 MB advisory — the round-6
@@ -52,9 +52,12 @@ def get_spark(app_name="scikg", cores=None, shuffle_partitions=None,
         # 32-core box. 16 MB keeps KB-sized metadata stages collapsing to
         # one task (parallelismFirst=false above) while giving ~30 tasks to
         # a ~500 MB exchange; both knobs scale with input size, not with
-        # the local core count.
+        # the local core count. 2x cores (not 8x) because iterative
+        # latency-bound chains (CC rounds) materialize localCheckpoints at
+        # the INITIAL width — 256-partition checkpoints cost ~0.5 s/query
+        # of pure task launches at sf0.1 for no coalescing benefit.
         .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-                str(max(cores * 8, shuffle_partitions)))
+                str(max(cores * 2, shuffle_partitions)))
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
         # prefer shuffled-hash over sort-merge when a side's per-partition
         # build fits (guide §3.1): the dedup/KG equi-joins are

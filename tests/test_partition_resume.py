@@ -185,3 +185,67 @@ def test_incremental_rerun_is_idempotent(spark, tmp_path):
     assert again["new_statements"] == 0 and again["new_tuples"] == 0
     assert {t: cat.manifest(t)["rows"]
             for t in ("statements", "tuples", "edges")} == rows_after
+
+
+def test_incremental_retry_completes_partial_append(spark, tmp_path,
+                                                    monkeypatch):
+    """Crash WINDOW between the two snapshot commits (ADVICE r5, medium):
+    the first incremental attempt dies after committing statements but
+    before committing tuples. The retry must re-extract the batch and
+    append the missing tuples (and edges) — not drop it because its urls
+    already sit in statements — and the warehouse must end content-equal
+    to a full recompute over the combined corpus."""
+    import pytest
+
+    from scikg_spark.pipeline.runner import (
+        run_pipeline, run_pipeline_incremental)
+    from scikg_spark.pipeline.stage1 import build_pages_from_documents
+    from scikg_spark.pipeline.stage4 import SnapshotCatalog
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pages_a = build_pages_from_documents(
+        docs.filter("doc_id < 40")).localCheckpoint()
+    pages_b = build_pages_from_documents(
+        docs.filter("doc_id >= 40 AND doc_id < 60")).localCheckpoint()
+    pages_all = build_pages_from_documents(
+        docs.filter("doc_id < 60")).localCheckpoint()
+
+    cat = SnapshotCatalog(spark, str(tmp_path / "wh"))
+    run_pipeline(spark, pages_a, catalog=cat)
+    stmt_rows_before = cat.manifest("statements")["rows"]
+    tuple_rows_before = cat.manifest("tuples")["rows"]
+
+    real_write = SnapshotCatalog.write
+    armed = {"on": True}
+
+    def crashing(self, df, table, partition_by=(), **kw):
+        if armed["on"] and table == "tuples":
+            raise RuntimeError("injected crash between commits")
+        return real_write(self, df, table, partition_by=partition_by, **kw)
+
+    monkeypatch.setattr(SnapshotCatalog, "write", crashing)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        run_pipeline_incremental(spark, pages_b, cat)
+    # the partial state the bug report describes: statements grew, tuples
+    # did not
+    assert cat.manifest("statements")["rows"] > stmt_rows_before
+    assert cat.manifest("tuples")["rows"] == tuple_rows_before
+
+    armed["on"] = False
+    report = run_pipeline_incremental(spark, pages_b, cat)
+    assert report["new_tuples"] > 0          # the retry lands the tuples
+    assert report["new_statements"] == 0     # without double-appending
+
+    full = SnapshotCatalog(spark, str(tmp_path / "full"))
+    run_pipeline(spark, pages_all, catalog=full)
+
+    def multiset(df, cols):
+        return sorted(map(tuple, df.select(*cols).collect()))
+
+    flat = ("url", "doc_id", "stmt_id", "kind", "subj", "pred", "obj")
+    for table, cols in (
+            ("tuples", flat),
+            ("edges", flat + ("subj_entity", "obj_entity")),
+            ("entity_map", ("phrase", "entity_id"))):
+        assert multiset(cat.read(table), cols) == \
+            multiset(full.read(table), cols), table

@@ -1,0 +1,69 @@
+"""Plan-shape regression pins for the round-6 dedup/LSH rewrites (the
+pattern test_pagerank_iteration_single_exchange established): a future
+refactor that reintroduces the duplicated-subtree self-join — the shape that
+made minhash/ngram re-run the whole scan+hash pipeline once per join side —
+fails a test here, not a bench read."""
+
+import io
+import re
+from contextlib import redirect_stdout
+
+SF = "/root/testdata/sf0.01"
+
+
+def _formatted(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def _n_ops(plan: str, op: str) -> int:
+    """Count operator DETAIL headers like '(12) Scan parquet' — formatted
+    explain lists every operator twice (tree + details)."""
+    return len(re.findall(rf"\(\d+\) {op}", plan))
+
+
+def test_minhash_pairs_single_subtree(spark):
+    """Pair generation happens in place on the collected band bucket: no
+    join anywhere, and the signature pipeline scans the corpus exactly
+    once."""
+    from scikg_spark.ops.dedup import q_minhash_dup_pairs
+
+    plan = _formatted(q_minhash_dup_pairs(spark, SF))
+    assert "Join" not in plan, plan
+    assert _n_ops(plan, "Scan parquet") == 1, plan
+
+
+def test_contamination_single_subtree(spark):
+    """Corpus x bench matches expand in place per capped gram group — one
+    corpus scan, no join."""
+    from scikg_spark.ops.dedup import q_contamination
+
+    plan = _formatted(q_contamination(spark, SF))
+    assert "Join" not in plan, plan
+    assert _n_ops(plan, "Scan parquet") == 1, plan
+
+
+def test_ngram_jaccard_joins_checkpoint_not_rescan(spark):
+    """The band self-join reads the checkpointed capped gram table (both
+    sides), never the parquet scan — the gram/md5 pipeline ran exactly once
+    at checkpoint time. Set sizes ride the checkpoint, so no sizes subtree
+    re-scans the corpus either."""
+    from scikg_spark.ops.dedup import q_ngram_jaccard_pairs
+
+    plan = _formatted(q_ngram_jaccard_pairs(spark, SF))
+    assert _n_ops(plan, "Scan parquet") == 0, plan
+    assert _n_ops(plan, "Scan ExistingRDD") == 2, plan
+
+
+def test_stage3_lsh_pairs_no_join(spark):
+    """stage-3 LSH candidate pairs: in-place bucket expansion, no join."""
+    from pyspark.sql import Row
+
+    from scikg_spark.pipeline.stage3 import lsh_candidate_pairs
+
+    phrases = spark.createDataFrame(
+        [Row(phrase_id=i, norm=f"phrase number {i}") for i in range(20)])
+    plan = _formatted(lsh_candidate_pairs(phrases))
+    assert "Join" not in plan, plan
