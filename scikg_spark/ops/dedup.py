@@ -203,9 +203,20 @@ def q_ngram_jaccard_pairs(spark, sf_dir, threshold: float = 0.5):
     b = capped.select("lang", "source", "gram_h",
                       F.col("doc_id").alias("doc_b"),
                       F.col("n_grams").alias("nb"))
+    # explicit hash repartition by the pair key, THEN aggregate: the pair
+    # stream has ~3 instances per distinct pair, so map-side partial
+    # aggregation builds million-entry hash tables for almost no row
+    # reduction — pre-partitioning lets Spark plan ONE complete-mode
+    # aggregation instead of partial+final (measured 11-15 s -> 6-8 s for
+    # this stage at sf1.0, interleaved A/B across host-load levels).
+    # Identical results: hash partitioning is deterministic on the key and
+    # count/min are order-insensitive. Width follows the cluster (2x
+    # defaultParallelism), not a local constant.
+    n_parts = 2 * spark.sparkContext.defaultParallelism
     inter = (
         a.join(b.hint("shuffle_hash"), ["lang", "source", "gram_h"])
         .filter(F.col("doc_a") < F.col("doc_b"))
+        .repartition(n_parts, "doc_a", "doc_b")
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_common"),
              # na/nb are functionally dependent on doc_a/doc_b (one gram-set
