@@ -174,11 +174,18 @@ def _driver_union_find(rows, vertices: DataFrame) -> DataFrame:
 
 def connected_components(edges: DataFrame, vertices: DataFrame,
                          max_iter: int = 20,
-                         driver_threshold: int = 1 << 18) -> DataFrame:
+                         driver_threshold: int = 1 << 18,
+                         bidir: DataFrame | None = None) -> DataFrame:
     """Hash-min label propagation: (id) -> (id, comp) with comp = min id in
     the component. Iterative joins with localCheckpoint per round (bounded by
     ``max_iter``; converges in O(component diameter) rounds — phrase
     similarity components are shallow).
+
+    ``bidir`` optionally passes an ALREADY-SYMMETRIZED, already-materialized
+    edge list (both directions present, e.g. a localCheckpoint the caller
+    still needs for its vertex set) — the union+checkpoint here is then
+    skipped, one materialization instead of two (round 6: the linking chain
+    is latency-bound on its job count, not on data volume).
 
     Edge lists at or under ``driver_threshold`` rows short-circuit to a
     driver-side union-find — the same size rationale as a broadcast join,
@@ -191,11 +198,12 @@ def connected_components(edges: DataFrame, vertices: DataFrame,
     heap — broadcast-table territory — not the raw 16 B/edge a binary layout
     would suggest. Edge sets over the threshold take the distributed
     iterative path; pass ``driver_threshold=0`` to force it."""
-    bidir = edges.union(edges.select(F.col("dst").alias("src"),
-                                     F.col("src").alias("dst")))
-    # materialize the adjacency ONCE before any probe/iteration: both the
-    # driver short-circuit and the distributed rounds reuse this
-    bidir = bidir.localCheckpoint()
+    if bidir is None:
+        bidir = edges.union(edges.select(F.col("dst").alias("src"),
+                                         F.col("src").alias("dst")))
+        # materialize the adjacency ONCE before any probe/iteration: both
+        # the driver short-circuit and the distributed rounds reuse this
+        bidir = bidir.localCheckpoint()
     n_edges = bidir.count()
     if driver_threshold and n_edges <= driver_threshold:
         return _driver_union_find(bidir.collect(), vertices)
@@ -370,17 +378,18 @@ def link_entities(tuples: DataFrame, lsh_threshold: float = 0.8,
         edges = edges.union(verify_jaccard(cand, reps, threshold=lsh_threshold))
     if synonyms is not None:
         edges = edges.union(synonym_phrase_edges(phrases, synonyms))
-    # materialize the edge pipeline (LSH bands + Jaccard-verify UDF) exactly
-    # once: both the CC adjacency and the vertex set derive from it
-    edges = edges.localCheckpoint()
+    # materialize the edge pipeline (LSH bands + Jaccard verify) exactly
+    # once, already SYMMETRIZED: the CC adjacency and the vertex set both
+    # read this one checkpoint (round 6 — previously the directed edges and
+    # the bidirectional adjacency were two separate materializations)
+    bidir = edges.union(edges.select(F.col("dst").alias("src"),
+                                     F.col("src").alias("dst"))) \
+                 .localCheckpoint()
     # CC only over vertices an edge touches; singleton phrases (the vast
-    # majority) skip the iterative rounds entirely and map to themselves
-    touched = (
-        edges.select(F.col("src").alias("id"))
-        .union(edges.select(F.col("dst").alias("id")))
-        .distinct()
-    )
-    comp = connected_components(edges, touched)
+    # majority) skip the iterative rounds entirely and map to themselves.
+    # src of the symmetrized list covers both endpoints of every edge.
+    touched = bidir.select(F.col("src").alias("id")).distinct()
+    comp = connected_components(edges, touched, bidir=bidir)
     mapped = phrases.join(comp, phrases["phrase_id"] == comp["id"], "left").select(
         "phrase", "norm",
         F.coalesce("comp", "phrase_id").alias("entity_id"))
