@@ -358,7 +358,10 @@ def q_dedup_keep_policy(spark, sf_dir):
 
     from scikg_spark.pipeline.stage3 import connected_components
 
-    docs = _docs(spark, sf_dir).select("doc_id")
+    # raw scan, not parallelize_scan: the vertex list is a metadata-rate
+    # doc_id projection (same rule as q_dedup_exact — the round-robin
+    # exchange would cost more than the scan)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
     pairs = q_minhash_dup_pairs(spark, sf_dir)
     edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     comp = connected_components(edges, docs.select(F.col("doc_id").alias("id")))
