@@ -390,9 +390,12 @@ def link_entities(tuples: DataFrame, lsh_threshold: float = 0.8,
     # src of the symmetrized list covers both endpoints of every edge.
     touched = bidir.select(F.col("src").alias("id")).distinct()
     comp = connected_components(edges, touched, bidir=bidir)
+    # materialize the phrase -> entity join ONCE and derive both outputs
+    # from it: callers checkpoint nodes AND phrase_map, which previously
+    # re-ran this join (phrases x comp) for each — round 6, one pass
     mapped = phrases.join(comp, phrases["phrase_id"] == comp["id"], "left").select(
         "phrase", "norm",
-        F.coalesce("comp", "phrase_id").alias("entity_id"))
+        F.coalesce("comp", "phrase_id").alias("entity_id")).localCheckpoint()
     nodes = mapped.groupBy("entity_id").agg(
         F.min("norm").alias("canonical"),
         F.countDistinct("phrase").alias("n_phrases"),
