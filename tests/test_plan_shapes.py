@@ -46,15 +46,17 @@ def test_contamination_single_subtree(spark):
 
 
 def test_ngram_jaccard_joins_checkpoint_not_rescan(spark):
-    """The band self-join reads the checkpointed capped gram table (both
-    sides), never the parquet scan — the gram/md5 pipeline ran exactly once
+    """The band self-join and the hot-gram count read the checkpointed gram
+    table, never the parquet scan — the gram/md5 pipeline ran exactly once
     at checkpoint time. Set sizes ride the checkpoint, so no sizes subtree
-    re-scans the corpus either."""
+    re-scans the corpus either, and the hot-list anti-join is a broadcast
+    (map-side drop, no gram-table shuffle for capping)."""
     from scikg_spark.ops.dedup import q_ngram_jaccard_pairs
 
     plan = _formatted(q_ngram_jaccard_pairs(spark, SF))
     assert _n_ops(plan, "Scan parquet") == 0, plan
-    assert _n_ops(plan, "Scan ExistingRDD") == 2, plan
+    assert _n_ops(plan, "Scan ExistingRDD") >= 2, plan
+    assert "BroadcastHashJoin LeftAnti" in plan, plan
 
 
 def test_stage3_lsh_pairs_no_join(spark):
