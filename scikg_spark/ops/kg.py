@@ -151,7 +151,13 @@ def load_synonyms(spark, path: str = _SYNONYMS_PATH):
         nid2tuple, _, _, _, _ = parse_label_file(fh)
     rows = [(t[0][1].split("#")[0], t[2][1].split("#")[0])
             for t in nid2tuple.values()]
-    return spark.createDataFrame(rows, "phrase_a string, phrase_b string")
+    # Arrow local relation (driver-side conversion) — the list form would
+    # parallelize through Python-RDD tasks just to ship a tiny dimension
+    import pandas as pd
+
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["phrase_a", "phrase_b"]),
+        schema="phrase_a string, phrase_b string")
 
 
 def _linked(spark, sf_dir, synonyms_path: str | None = None):

@@ -162,8 +162,18 @@ def _driver_union_find(rows, vertices: DataFrame) -> DataFrame:
         if m is None or node < m:
             root_min[r] = node
     spark = vertices.sparkSession
+    # Arrow local-relation build (round 6): createDataFrame over a plain
+    # Python list parallelizes through Python-RDD tasks — 32 Python workers
+    # launched to ship a broadcast-sized mapping (measured 7-35 CPU-s when
+    # workers are cold, on a sub-1k-row table). The pandas path converts to
+    # Arrow batches ON THE DRIVER and the executors decode pure JVM.
+    import pandas as pd
+
     mapping = spark.createDataFrame(
-        [(int(n), int(root_min[find(n)])) for n in parent],
+        pd.DataFrame(
+            {"id": [int(n) for n in parent],
+             "comp": [int(root_min[find(n)]) for n in parent]},
+            dtype="int64"),
         schema="id bigint, comp bigint")
     return (
         vertices.join(F.broadcast(mapping.withColumnRenamed("comp", "_c")),
@@ -358,15 +368,23 @@ def link_entities(tuples: DataFrame, lsh_threshold: float = 0.8,
     """
     from pyspark.sql.window import Window
 
-    phrases = mention_phrases(tuples).cache()
-    # ONE window pass serves both the exact star-edges and the LSH input
-    # (exchange reuse on the norm partitioning): LSH runs over ONE
-    # representative per distinct norm (same-norm phrases are already
-    # connected by the star), which shrinks the signature computation and
-    # band self-join by the duplication factor — at web scale duplicate
-    # surface forms dominate the mention table
-    with_root = phrases.withColumn(
-        "root", F.min("phrase_id").over(Window.partitionBy("norm")))
+    # Materialize the distinct-mention + window pass ONCE (round 6): the
+    # frame fans out into FOUR consumers per side of the symmetrizing union
+    # (star edges, LSH signatures, both Jaccard-verify sides) and the
+    # localCheckpoint/AQE execution path gives no subtree reuse — a
+    # `.cache()` here lost the race when AQE materialized those stage jobs
+    # concurrently, so the explode+distinct over the wide tuples cache ran
+    # 8x (measured: 8 racing 32-task stages, ~10 CPU-s each at sf0.1, for a
+    # 917-row result). The checkpoint is the distinct-mention table — the
+    # same thing the cache held, eagerly and exactly once. LSH still runs
+    # over ONE representative per distinct norm (same-norm phrases are
+    # already connected by the star), which shrinks the signature
+    # computation and band join by the duplication factor — at web scale
+    # duplicate surface forms dominate the mention table.
+    with_root = mention_phrases(tuples).withColumn(
+        "root", F.min("phrase_id").over(Window.partitionBy("norm"))) \
+        .localCheckpoint()
+    phrases = with_root.select("phrase", "phrase_id", "norm")
     edges = (
         with_root.filter(F.col("phrase_id") != F.col("root"))
         .select(F.col("root").alias("src"), F.col("phrase_id").alias("dst"))
