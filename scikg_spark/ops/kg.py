@@ -179,7 +179,9 @@ def _linked(spark, sf_dir, synonyms_path: str | None = None):
     syn = (load_synonyms(spark, synonyms_path)
            if synonyms_path is not None else None)
     nodes, phrase_map = link_entities(_tuples(spark, sf_dir), synonyms=syn)
-    phrase_map = phrase_map.localCheckpoint()
+    # phrase_map is already a projection over link_entities' checkpointed
+    # phrase->entity join (round 6) — re-checkpointing it would spend one
+    # more job to materialize the same rows
     entry = (nodes.localCheckpoint(), phrase_map, phrase_map.count())
     _LINK_CACHE[key] = entry
     return entry
