@@ -69,3 +69,53 @@ def test_stage3_lsh_pairs_no_join(spark):
         [Row(phrase_id=i, norm=f"phrase number {i}") for i in range(20)])
     plan = _formatted(lsh_candidate_pairs(phrases))
     assert "Join" not in plan, plan
+
+
+def test_union_find_mapping_is_jvm_local_relation(spark):
+    """The driver union-find's broadcast mapping must build as an Arrow
+    local relation (LocalTableScan), not a Python-RDD parallelize — the
+    list-based createDataFrame launched 32 Python-worker tasks (7-35 CPU-s
+    cold) per linking/CC pass just to ship a sub-1k-row table."""
+    from pyspark.sql import functions as F
+
+    from scikg_spark.pipeline.stage3 import _driver_union_find
+
+    vertices = spark.range(10).select(F.col("id"))
+    comp = _driver_union_find([(0, 1), (1, 2), (5, 6)], vertices)
+    plan = _formatted(comp)
+    assert "applySchemaToPythonRDD" not in plan, plan
+    assert _n_ops(plan, "LocalTableScan") == 1, plan
+
+
+def test_link_entities_evaluates_upstream_once(spark):
+    """link_entities materializes the distinct-mention window exactly once.
+    The pre-round-6 `.cache()` form lost the race when AQE materialized the
+    8 consumer stage jobs concurrently (star edges, LSH signatures, both
+    Jaccard-verify sides, x2 for the symmetrizing union), re-running the
+    upstream per consumer. An accumulator-counting UDF source detects any
+    regression: 8 racing evaluations would read every source row ~8x."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from scikg_spark.pipeline.stage3 import link_entities
+
+    acc = spark.sparkContext.accumulator(0)
+
+    def spy(v):
+        acc.add(1)
+        return f"Concept_{v}"
+
+    spy_udf = F.udf(spy, T.StringType())
+    n = 40
+    base = spark.range(n).select(
+        F.struct(spy_udf(F.col("id")).alias("text")).alias("s_c"),
+        F.struct(F.concat(F.lit("Obj_"), (F.col("id") % 7).cast("string"))
+                 .alias("text")).alias("o_c"))
+    nodes, phrase_map = link_entities(base)
+    nodes.collect()
+    phrase_map.collect()
+    # one evaluation of the source = n spy calls (the checkpointed form is
+    # exactly 1.0x); the un-materialized form measures 2.0x even at 4 cores
+    # (8x at 32), so the 1.5x bound fails any recomputation regression
+    # while leaving slack for a stray retried task
+    assert acc.value <= 1.5 * n, f"source evaluated {acc.value / n:.1f}x"
