@@ -180,7 +180,14 @@ def q_winnow_fingerprints(spark, sf_dir, k: int = WINNOW_K,
     engine-neutral SQL, so the full scheme is oracle-checked."""
     from pyspark.sql.window import Window as W
 
-    docs = _docs(spark, sf_dir).filter(F.col("n_chars") >= k + window)
+    from scikg_spark.pipeline.session import parallelize_scan
+
+    # compute-bound scan (per-CHAR rolling-hash explode): spread the 1-2
+    # parquet splits of a small corpus across cores — the round-4 rule for
+    # per-row-expensive consumers. The trivial n_chars gate stays below the
+    # exchange (prunes before the shuffle); the explode runs above it.
+    docs = parallelize_scan(
+        _docs(spark, sf_dir).filter(F.col("n_chars") >= k + window))
     hashes = docs.select(
         "doc_id",
         F.expr(f"length(text) - {k} + 1").alias("max_pos"),
